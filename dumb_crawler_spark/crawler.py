@@ -1,0 +1,244 @@
+"""C1: the crawl-round loop (SURVEY.md §2.8, §3.1 step 4-6 as set operations).
+
+The reference's main loop polls futures every second
+(DumbCrawler.java:61-79,302-310); one Spark **round** executes the same
+dataflow as one declarative plan over the whole batch:
+
+    dequeue (A1) → mark PROCESSING → re-tag/re-filter (T4/F2)
+    → fetch-simulate join docs (J4) → validate (F5/F6)
+    → extract links (L2) → canonicalize/tag/score/filter (U9/U2/T1/T2/F2)
+    → merge new links into frontier (J1-J3/S4)
+    → mark PROCESSED/FAILED (C3) → append pages (J5/S7/S8)
+    → append metrics (A3/S10) + errors (S11) → commit round (lineage)
+
+Exactly-once rounds: all table writes land BEFORE the round's commit marker
+(storage.py); a crash mid-round leaves the previous round's state intact —
+the batch analog of the reference's orphan recovery (URLStore.java:54-58).
+
+Termination: C6 empty-frontier stop (DumbCrawler.java:280-285) and the C5
+task-killer analog — stop after N consecutive rounds with no new saved page
+(TaskKiller.java:18-35; WarcStorageManager.java:27,93 sets the wall-clock
+variable; rounds replace wall-clock per SURVEY.md D3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import frontier as FR
+from .config import CrawlConfig
+from .extract import extract_links, order_spans
+from .fetch import fetch_simulate
+from .filters import is_url_allowed, should_store
+from .storage import Warehouse
+
+PAGES_SCHEMA_COLS = ("url_id", "url", "round", "spans", "fetched_round")
+
+
+@dataclass
+class RoundStats:
+    round_no: int
+    dequeued: int = 0
+    counters: dict[str, int] = field(default_factory=dict)
+
+    def add(self, name: str, value: int) -> None:
+        if value:
+            self.counters[name] = self.counters.get(name, 0) + int(value)
+
+
+class Crawler:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, docs: DataFrame, warehouse_dir: str | Path):
+        self.spark = spark
+        self.cfg = cfg
+        self.docs = docs
+        self.wh = Warehouse(spark, warehouse_dir)
+        self.history: list[RoundStats] = []
+
+    # -- bootstrap / resume ----------------------------------------------------
+    def bootstrap(self) -> int:
+        """Seed injection (S2) as round 0, or resume from the last committed
+        round (S3 frontier-scan; A6 latest-session max)."""
+        last = self.wh.last_committed_round()
+        if last is not None:
+            self.wh.rollback_uncommitted()
+            return last
+        seeds_df = self.spark.createDataFrame(
+            [(s,) for s in self.cfg.seeds], T.StructType([T.StructField("url", T.StringType())])
+        )
+        cands = FR.make_candidates(seeds_df, self.cfg, seeds=True)
+        stats = RoundStats(0)
+        non_http = cands.where(~F.col("url").startswith("http")).count()
+        stats.add("IGNORED_URLS", non_http)
+        fr = FR.merge_new_links(FR.empty_frontier(self.spark), cands, self.cfg, 0, depth=0)
+        fr = fr.repartition(self.cfg.partitions, "part")
+        self.wh.write_snapshot("frontier", 0, fr)
+        stats.add("DISCOVERED_URLS", self.wh.read_snapshot("frontier", 0).count())
+        self._append_metrics(0, stats)
+        self.wh.commit_round(0, {"dequeued": 0, "seeded": len(self.cfg.seeds)})
+        self.history.append(stats)
+        return 0
+
+    # -- one round ----------------------------------------------------------------
+    def run_round(self, round_no: int) -> RoundStats:
+        cfg = self.cfg
+        stats = RoundStats(round_no)
+        fr = self.wh.read_frontier(round_no - 1)
+
+        # A1 dequeue; k mirrors the reference's 2×pool backpressure budget
+        # (DumbCrawler.java:266-274)
+        k = cfg.thread_count * 2
+        dq = FR.dequeue(fr, cfg, k).cache()
+        stats.dequeued = dq.count()
+        if stats.dequeued == 0:
+            return stats
+
+        # T4 re-tag + re-filter; disallowed rows leak as PROCESSING (reference
+        # marks taken before filtering, URLStore.java:191-206 + DumbCrawler.java:275-279)
+        retagged = FR.retag_dequeued(dq, cfg).cache()
+        allowed = retagged.where(F.col("_allowed")).drop("_allowed")
+        verdicts = {r["_allowed"]: r["n"] for r in retagged.groupBy("_allowed").agg(F.count("*").alias("n")).collect()}
+        stats.add("ALLOWED_LINKS", verdicts.get(True, 0))
+        stats.add("IGNORED_LINKS", verdicts.get(False, 0))
+
+        # J4 + F5/F6
+        fetched = fetch_simulate(allowed, self.docs, cfg).cache()
+
+        # L2 on ok rows
+        ok_rows = fetched.where(F.col("ok")).withColumn(
+            "links", extract_links(F.col("spans"), F.col("url"))
+        )
+
+        # link-ingest (§3.2): explode → canonicalize/tag/score → F2 counters → merge
+        exploded = ok_rows.select(F.explode_outer("links").alias("url")).where(F.col("url").isNotNull())
+        link_cands = FR.make_candidates(exploded, cfg).cache()
+        lc = (
+            link_cands.withColumn("_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg))
+            .groupBy("_ok").agg(F.count("*").alias("n")).collect()
+        )
+        lcm = {r["_ok"]: r["n"] for r in lc}
+        stats.add("ALLOWED_LINKS", lcm.get(True, 0))
+        stats.add("IGNORED_LINKS", lcm.get(False, 0))
+        allowed_cands = FR.filter_allowed(link_cands, cfg)
+
+        # C3 completion merge + S4 new-link merge on the frontier
+        results = fetched.select("url_id", "tags", "ok", "error")
+        fr1 = FR.mark_taken(fr, dq, round_no)
+        fr2 = FR.mark_completed(fr1, results, cfg, round_no)
+        before = fr2.count()
+        fr3 = FR.merge_new_links(fr2, allowed_cands, cfg, round_no, depth=round_no)
+        fr3 = fr3.repartition(cfg.partitions, "part")
+        self.wh.write_snapshot("frontier", round_no, fr3)
+        after = self.wh.read_snapshot("frontier", round_no).count()
+        stats.add("DISCOVERED_URLS", after - before)
+
+        # counters from the fetch stage
+        err_counts = fetched.groupBy("error").agg(F.count("*").alias("n")).collect()
+        for r in err_counts:
+            if r["error"] is None:
+                stats.add("PROCESSED_URLS", r["n"])
+            else:
+                stats.add(f"ERROR_{r['error']}", r["n"])
+        # attempt+1 ≥ max on completion (URLStore.java:176-180)
+        stats.add(
+            "MAX_ATTEMPT_COUNT_REACHED",
+            fetched.where(F.col("attempt") + 1 >= cfg.max_attempt_count).count(),
+        )
+
+        # S7/S8 pages sink with F3 gate + J5 new-vs-update
+        storable = ok_rows.withColumn("_store", should_store(F.col("tags"), cfg))
+        saved = storable.where(F.col("_store")).select(
+            "url_id", "url", F.lit(round_no).alias("round"), order_spans(F.col("spans")).alias("spans")
+        )
+        unsaved_n = storable.where(~F.col("_store")).count()
+        stats.add("UNSAVED_PAGES", unsaved_n)
+        pages_so_far = self.wh.read_deltas("pages", upto_round=round_no - 1)
+        if pages_so_far is not None:
+            # J5: left join against existing url_ids — column-pruned scan of
+            # the pages table (url_id only); Iceberg identifier stats / bloom
+            # make this a metadata-cheap probe at scale
+            existing = pages_so_far.select("url_id").distinct().withColumn("_old", F.lit(True))
+            saved = saved.join(existing, "url_id", "left")
+        else:
+            saved = saved.withColumn("_old", F.lit(None).cast("boolean"))
+        saved = saved.cache()
+        new_n = saved.where(F.col("_old").isNull()).count()
+        upd_n = saved.where(F.col("_old").isNotNull()).count()
+        stats.add("NEW_SAVED_PAGES", new_n)
+        stats.add("UPDATED_PAGES", upd_n)
+        stats.add("SAVED_PAGES", new_n + upd_n)
+        if new_n + upd_n:
+            self.wh.append_delta("pages", round_no, saved.drop("_old"))
+
+        # S11 errors sink (debug-file analog: keep the failing row + its spans)
+        errors = fetched.where(~F.col("ok")).select(
+            "url_id", "url", "error", F.lit(round_no).alias("round"), "spans"
+        )
+        if errors.limit(1).count():
+            self.wh.append_delta("errors", round_no, errors)
+
+        # dequeue-order lineage (golden-comparable): global D2 order. The
+        # single-partition window is over ≤k rows (the dequeued batch), never
+        # the frontier — bounded driver-side cost by construction.
+        w = Window.orderBy(F.desc("priority"), F.asc("attempt"), F.asc("url_id"))
+        dq_order = dq.select(
+            F.lit(round_no).alias("round"),
+            (F.row_number().over(w) - 1).alias("seq"),
+            "url_id",
+        )
+        self.wh.append_delta("dequeue_order", round_no, dq_order)
+
+        self._append_metrics(round_no, stats)
+        self.wh.commit_round(round_no, {"dequeued": stats.dequeued, **stats.counters})
+        for c in (dq, retagged, fetched, link_cands, saved):
+            c.unpersist()
+        return stats
+
+    def _append_metrics(self, round_no: int, stats: RoundStats) -> None:
+        rows = [(round_no, k, int(v)) for k, v in sorted(stats.counters.items())]
+        schema = T.StructType([
+            T.StructField("round", T.IntegerType()),
+            T.StructField("counter", T.StringType()),
+            T.StructField("value", T.LongType()),
+        ])
+        self.wh.append_delta("metrics", round_no, self.spark.createDataFrame(rows, schema))
+
+    # -- loop -------------------------------------------------------------------
+    def run(self, max_rounds: int | None = None) -> list[RoundStats]:
+        start = self.bootstrap()
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        rnd = start
+        rounds_without_new_pages = 0
+        while limit is None or rnd - start < limit:
+            rnd += 1
+            stats = self.run_round(rnd)
+            self.history.append(stats)
+            if stats.dequeued == 0:  # C6 empty-frontier stop
+                self.wh.write_terminated({"round": rnd, "reason": "frontier_empty"})
+                break
+            if stats.counters.get("NEW_SAVED_PAGES", 0) == 0:
+                rounds_without_new_pages += 1
+            else:
+                rounds_without_new_pages = 0
+            # C5 task-killer analog (rounds replace wall-clock per D3)
+            if self.cfg.max_rounds is None and rounds_without_new_pages >= 1000:
+                self.wh.write_terminated({"round": rnd, "reason": "task_killer"})
+                break
+        return self.history
+
+    # -- inspection helpers (S13 WarcViewer analog: ad-hoc queries on pages) ----
+    def pages(self) -> DataFrame | None:
+        return self.wh.read_deltas("pages")
+
+    def dequeue_order(self) -> DataFrame | None:
+        return self.wh.read_deltas("dequeue_order")
+
+    def metrics_total(self) -> dict[str, int]:
+        m = self.wh.read_deltas("metrics")
+        if m is None:
+            return {}
+        return {r["counter"]: r["total"] for r in m.groupBy("counter").agg(F.sum("value").alias("total")).collect()}

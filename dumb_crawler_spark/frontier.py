@@ -1,0 +1,255 @@
+"""The frontier: priority queue + exact URL-seen set + crawl state
+(SURVEY.md §2.1 S2-S4, §2.5 J1-J3, §2.6 A1/A2, §2.8 C2-C4).
+
+The reference realizes all three roles in one SQLite table ``links``
+(URLStore.java:82-97). Here the frontier is a DataFrame with explicit
+partition column ``part`` (salted murmur3 host bucket — urlkit.part_of), and
+every mutation is a declarative plan:
+
+- insert        = left-anti join + union          (URLStore.java:127-147)
+- dequeue       = window rank / ordered limit     (URLStore.java:185-208)
+- state change  = left join + conditional select  (URLStore.java:159-183)
+
+Scale notes (10^10 rows, 1000 executors):
+- Every operation here keys on ``url_id`` or groups by ``host``; both are
+  functionally dependent on ``part``, so with the frontier stored as an
+  Iceberg table bucketed by ``part`` these shuffles become storage-partitioned
+  joins (SPJ) / partition-local windows — no full-table shuffle. Locally,
+  AQE handles sizing.
+- The anti-join (J3) is the hot spot: the bloom prefilter (bloom.py) prunes
+  candidate links that are definitely-unseen BEFORE the shuffle, so only
+  bloom-positives (≈ duplicates + fpr) reach the exact join.
+- The dequeue top-K never sorts the whole frontier: with a politeness budget
+  it is a per-host window (partition-local after the part bucketing); the
+  global-K variant compiles to TakeOrderedAndProject (per-partition heap
+  top-K, then a K-row merge on the driver) — not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import CrawlConfig
+from .filters import can_attempt, is_http, is_url_allowed, tag_filter_verdict
+from .tagging import priority_for_tags, tag_urls, with_seed_tag
+from .urlkit import canonicalize, host_of, part_of, url_id, url_parts
+
+# Status codes, verbatim from URLStore.java:17-22
+QUEUED, PROCESSING, PROCESSED, FAILED = 0, 1, 2, 3
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url_id", T.StringType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("host", T.StringType(), True),
+    T.StructField("tags", T.ArrayType(T.StringType()), False),
+    T.StructField("status", T.ByteType(), False),
+    T.StructField("priority", T.IntegerType(), False),
+    T.StructField("attempt", T.IntegerType(), False),
+    T.StructField("depth", T.IntegerType(), False),
+    T.StructField("created_round", T.IntegerType(), False),
+    T.StructField("taken_round", T.IntegerType(), True),
+    T.StructField("completed_round", T.IntegerType(), True),
+    T.StructField("error", T.StringType(), True),
+    T.StructField("part", T.IntegerType(), False),
+])
+
+
+def empty_frontier(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], FRONTIER_SCHEMA)
+
+
+def make_candidates(urls: DataFrame, cfg: CrawlConfig, *, seeds: bool = False) -> DataFrame:
+    """§3.2 link-ingest pipeline: url → canonicalize (U9) → parts (U1) →
+    tags (T1) → priority (T2, from expression tags only) → url_id (U2) →
+    host/part. One narrow select chain — single stage, zero shuffle.
+
+    ``seeds=True`` prepends the 'seed' extra tag AFTER scoring
+    (DumbCrawler.java:292-300) and marks depth 0.
+    """
+    canon = canonicalize(F.col("url"))
+    df = urls.select(canon.alias("url"))
+    parts = url_parts(F.col("url"))
+    df = df.withColumn("tags", tag_urls(parts, cfg))
+    df = df.withColumn("priority", priority_for_tags(F.col("tags"), cfg))
+    if seeds:
+        df = df.withColumn("tags", with_seed_tag(F.col("tags")))
+    df = df.withColumn("url_id", url_id(F.col("url"), cfg.id_extractor_pattern))
+    df = df.withColumn("host", host_of(F.col("url")))
+    df = df.withColumn("part", part_of(F.col("host"), F.col("url_id"), cfg.partitions, cfg.salt))
+    return df
+
+
+def filter_allowed(candidates: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """F2 LinkFilter gate with verdict column kept for counters
+    (LinkFilter.java:24-44). Seeds bypass this (reference initialize() calls
+    addTasks directly, DumbCrawler.java:61-67,143-146)."""
+    return candidates.withColumn("_verdict", tag_filter_verdict(F.col("tags"), cfg)).where(
+        is_url_allowed(F.col("url"), F.col("tags"), cfg)
+    ).drop("_verdict")
+
+
+def dedupe_in_batch(candidates: DataFrame) -> DataFrame:
+    """J1+J2 in-batch dedup by url_id.
+
+    The reference's "last wins" toMap merge (URLStore.java:134) iterates a
+    HashSet — nondeterministic; per SURVEY.md §2.8-D1 the deterministic spec
+    keeps (max priority, then min url) per url_id. Window + rank=1, shuffle
+    keyed like every other frontier op.
+    """
+    w = Window.partitionBy("url_id").orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_new_links(
+    frontier: DataFrame, candidates: DataFrame, cfg: CrawlConfig, round_no: int, depth: int
+) -> DataFrame:
+    """S4+J3: insert candidates not already in the seen-set.
+
+    candidates must already be tagged/scored (make_candidates) and F2-filtered
+    for non-seed links (filter_allowed). The F1 protocol filter is re-applied
+    here because URLStore does its own (URLStore.java:102-111).
+
+    Equivalent Iceberg DDL at scale:
+        MERGE INTO frontier t USING cands s ON t.url_id = s.url_id
+        WHEN NOT MATCHED THEN INSERT (…status 0, attempt 0…)
+    Locally: left-anti join + union. Both sides are bucketed by part/url_id,
+    so the join is co-partitioned at scale (SPJ).
+    """
+    cands = dedupe_in_batch(candidates.where(is_http(F.col("url"))))
+    new_rows = cands.join(frontier.select("url_id"), "url_id", "left_anti").select(
+        "url_id",
+        "url",
+        "host",
+        "tags",
+        F.lit(QUEUED).cast("tinyint").alias("status"),
+        F.col("priority").cast("int"),
+        F.lit(0).alias("attempt"),
+        F.lit(depth).alias("depth"),
+        F.lit(round_no).alias("created_round"),
+        F.lit(None).cast("int").alias("taken_round"),
+        F.lit(None).cast("int").alias("completed_round"),
+        F.lit(None).cast("string").alias("error"),
+        "part",
+    )
+    return frontier.unionByName(new_rows)
+
+
+def dequeue(frontier: DataFrame, cfg: CrawlConfig, k: int | None) -> DataFrame:
+    """A1: priority-ordered top-K of QUEUED rows (URLStore.java:185-190).
+
+    Total order per SURVEY.md §2.8-D2: (priority DESC, attempt ASC, url_id ASC)
+    — SQLite's ORDER BY priority DESC, attempt_count leaves ties unordered;
+    this totalizes it and the oracle uses the same rule.
+
+    With a politeness budget the ranking is per-host (north rule): a window
+    PARTITION BY host caps each host's rows per round; the cross-host result
+    is then globally ordered by the same rule. Without a budget and with k
+    set, this is exactly the reference's global top-K.
+    """
+    eligible = frontier.where(
+        (F.col("status") == QUEUED) & can_attempt(F.col("attempt"), cfg)
+    )
+    budget = cfg.politeness.budget_per_host_per_round
+    if budget is not None:
+        w = Window.partitionBy("host").orderBy(
+            F.desc("priority"), F.asc("attempt"), F.asc("url_id")
+        )
+        eligible = (
+            eligible.withColumn("_hr", F.row_number().over(w))
+            .where(F.col("_hr") <= budget)
+            .drop("_hr")
+        )
+    out = eligible.orderBy(F.desc("priority"), F.asc("attempt"), F.asc("url_id"))
+    if k is not None:
+        out = out.limit(k)
+    return out.select("url_id", "url", "host", "tags", "priority", "attempt", "depth", "part")
+
+
+def retag_dequeued(dequeued: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """T4: re-tag + re-filter at dequeue (DumbCrawler.java:276-279) — stored
+    tags may be stale vs current config. Fresh tags REPLACE stored ones (so a
+    seed's extra 'seed' tag is dropped here, exactly like the reference, which
+    re-tags from the bare url). Returns all rows with fresh tags + '_allowed'
+    flag; caller diverts disallowed rows (they stay PROCESSING — the reference
+    leaks them the same way: filtered tasks were already marked taken and are
+    never completed, DumbCrawler.java:275-279 + URLStore.java:191-206)."""
+    parts = url_parts(F.col("url"))
+    fresh = dequeued.withColumn("tags", tag_urls(parts, cfg))
+    return fresh.withColumn("_allowed", is_url_allowed(F.col("url"), F.col("tags"), cfg))
+
+
+def mark_taken(frontier: DataFrame, dequeued: DataFrame, round_no: int) -> DataFrame:
+    """status QUEUED→PROCESSING + taken_round (URLStore.java:191-206).
+    Iceberg: MERGE … WHEN MATCHED UPDATE; locally left join + conditional."""
+    taken = dequeued.select("url_id", F.lit(True).alias("_taken"))
+    return (
+        frontier.join(taken, "url_id", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_taken"), F.lit(PROCESSING).cast("tinyint")).otherwise(F.col("status")),
+        )
+        .withColumn(
+            "taken_round",
+            F.when(F.col("_taken"), F.lit(round_no)).otherwise(F.col("taken_round")),
+        )
+        .drop("_taken")
+    )
+
+
+def mark_completed(frontier: DataFrame, results: DataFrame, cfg: CrawlConfig, round_no: int) -> DataFrame:
+    """C3: completion MERGE (URLStore.java:159-183).
+
+    ``results`` needs columns: url_id, tags (fresh, written back like the
+    reference's markProcessed), ok (bool), error (null when ok).
+    Semantics: status → PROCESSED(2) | FAILED(3); FAILED is terminal —
+    CrawlingException.shouldRetry is never used to requeue
+    (CrawlingException.java:11, SURVEY.md §2.8-C3). attempt += 1 always.
+    """
+    upd = results.select(
+        "url_id",
+        F.col("tags").alias("_new_tags"),
+        F.when(F.col("ok"), F.lit(PROCESSED)).otherwise(F.lit(FAILED)).cast("tinyint").alias("_new_status"),
+        F.col("error").alias("_new_error"),
+    )
+    out = (
+        frontier.join(upd, "url_id", "left")
+        .withColumn("status", F.coalesce(F.col("_new_status"), F.col("status")))
+        .withColumn("tags", F.when(F.col("_new_status").isNotNull(), F.col("_new_tags")).otherwise(F.col("tags")))
+        .withColumn("error", F.when(F.col("_new_status").isNotNull(), F.col("_new_error")).otherwise(F.col("error")))
+        .withColumn(
+            "attempt",
+            F.when(F.col("_new_status").isNotNull(), F.col("attempt") + 1).otherwise(F.col("attempt")),
+        )
+        .withColumn(
+            "completed_round",
+            F.when(F.col("_new_status").isNotNull(), F.lit(round_no)).otherwise(F.col("completed_round")),
+        )
+        .drop("_new_tags", "_new_status", "_new_error")
+    )
+    return out
+
+
+def status_counts(frontier: DataFrame) -> DataFrame:
+    """A2: SELECT status, count(*) GROUP BY status (URLStore.java:41-52) —
+    partial/final hash agg, no full shuffle of data, only of counts."""
+    return frontier.groupBy("status").count()
+
+
+def reset_orphans(frontier: DataFrame) -> DataFrame:
+    """C2: PROCESSING → QUEUED on resume (URLStore.java:54-58). With the
+    commit protocol in storage.py this is normally a no-op (uncommitted
+    rounds vanish wholesale), but it also heals snapshots that committed a
+    'taken' state mid-round (the crawler commits only at round end, so only
+    reference-imported or hand-edited state ever needs it)."""
+    orphan = F.col("status") == PROCESSING
+    return frontier.select(
+        *[c for c in frontier.columns if c not in ("status", "taken_round")],
+        F.when(orphan, F.lit(QUEUED).cast("tinyint")).otherwise(F.col("status")).alias("status"),
+        F.when(orphan, F.lit(None).cast("int")).otherwise(F.col("taken_round")).alias("taken_round"),
+    ).select(*frontier.columns)

@@ -1,0 +1,131 @@
+"""Snapshot-versioned table storage (SURVEY.md §2.1 S7-S12, §4 round-commit).
+
+The reference keeps all state in one SQLite file with an implicit single
+writer (SQLiteConnection.java:54-60) plus gzip/WARC page files rotated at
+50 MB (WarcStorageManager.java:91-147). The Spark-native equivalent at the
+10^10-row design point is **Iceberg**: the frontier is an Iceberg table
+partitioned by ``bucket(P, part)`` with MERGE INTO for upserts, page/metric
+tables are plain appends, and a crash-consistent "round" is a set of table
+snapshots recorded in a lineage table.
+
+The sandbox container has no Iceberg runtime jar, so this module provides the
+same contract on bare Parquet:
+
+- **full-state tables** (``frontier``): one immutable snapshot directory per
+  round, ``snap-{round:08d}``, written to a temp dir and atomically renamed —
+  the local analog of an Iceberg snapshot commit. (Iceberg's merge-on-read
+  avoids the full rewrite at scale; the interface is identical.)
+- **append-only tables** (``pages``, ``metrics``, ``errors``, ``rounds``):
+  one ``delta-{round:08d}`` directory per round; a read unions the deltas of
+  committed rounds only. File rotation (reference: 50 MB WARC) falls out of
+  Parquet part-file sizing / Iceberg ``write.target-file-size-bytes``.
+- **round commit** (C1/C2 crash consistency): a round is visible iff
+  ``_round-{round:08d}.json`` exists in ``_commits/``. The marker is written
+  last; on restart everything newer than the last marker is invisible and
+  garbage-collected — which IS the reference's orphan recovery
+  (URLStore.java:54-58: PROCESSING → QUEUED on resume), because uncommitted
+  status transitions simply never happened.
+- **termination marker** (S12): ``_TERMINATED.json``, reference
+  CrawlingSessionContext.java:203-218.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    """One crawl session's tables + round lineage under a root directory."""
+
+    def __init__(self, spark: SparkSession, root: str | Path):
+        self.spark = spark
+        self.root = Path(root)
+        (self.root / "_commits").mkdir(parents=True, exist_ok=True)
+
+    # -- atomic writes -------------------------------------------------------
+    def _atomic_write(self, df: DataFrame, dest: Path) -> None:
+        tmp = dest.parent / f".tmp-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(tmp))
+        if dest.exists():
+            shutil.rmtree(dest)
+        tmp.rename(dest)
+
+    # -- full-state tables (frontier) -----------------------------------------
+    def write_snapshot(self, table: str, round_no: int, df: DataFrame) -> None:
+        self._atomic_write(df, self.root / table / f"snap-{round_no:08d}")
+
+    def read_snapshot(self, table: str, round_no: int) -> DataFrame:
+        return self.spark.read.parquet(str(self.root / table / f"snap-{round_no:08d}"))
+
+    # -- append-only tables ----------------------------------------------------
+    def append_delta(self, table: str, round_no: int, df: DataFrame) -> None:
+        self._atomic_write(df, self.root / table / f"delta-{round_no:08d}")
+
+    def read_deltas(self, table: str, upto_round: int | None = None) -> DataFrame | None:
+        """Union of committed delta dirs (≤ upto_round if given); None if empty.
+        Parquet dir-level listing keeps this a metadata operation; column
+        pruning applies per delta (e.g. J5 reads only pages.url_id)."""
+        tdir = self.root / table
+        if not tdir.exists():
+            return None
+        last = self.last_committed_round() if upto_round is None else upto_round
+        dirs = sorted(
+            str(d) for d in tdir.glob("delta-*")
+            if last is not None and int(d.name.split("-")[1]) <= last
+        )
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    # -- round lineage / crash consistency -------------------------------------
+    def commit_round(self, round_no: int, info: dict) -> None:
+        """Marker write = the commit point (single driver ⇒ single committer,
+        like the reference's single SQLite writer; no conflict handling)."""
+        marker = self.root / "_commits" / f"_round-{round_no:08d}.json"
+        tmp = marker.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"round": round_no, **info}, default=str))
+        tmp.rename(marker)
+
+    def committed_rounds(self) -> list[int]:
+        return sorted(
+            int(p.stem.split("-")[1]) for p in (self.root / "_commits").glob("_round-*.json")
+        )
+
+    def last_committed_round(self) -> int | None:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else None
+
+    def rollback_uncommitted(self) -> None:
+        """C2 orphan recovery: drop snapshot/delta dirs newer than the last
+        committed round (they are invisible anyway; this reclaims space and
+        mirrors Iceberg's snapshot expiry/rollback)."""
+        last = self.last_committed_round()
+        for tdir in self.root.iterdir():
+            if not tdir.is_dir() or tdir.name.startswith("_"):
+                continue
+            for d in tdir.glob("*-*"):
+                try:
+                    rnd = int(d.name.split("-")[1])
+                except ValueError:
+                    continue
+                if last is None or rnd > last:
+                    shutil.rmtree(d)
+
+    # -- termination marker (S12) ----------------------------------------------
+    def write_terminated(self, info: dict) -> None:
+        (self.root / "_TERMINATED.json").write_text(json.dumps(info, default=str))
+
+    def is_terminated(self) -> bool:
+        return (self.root / "_TERMINATED.json").exists()
+
+    # -- convenience -----------------------------------------------------------
+    def read_frontier(self, round_no: int | None = None) -> DataFrame:
+        rnd = self.last_committed_round() if round_no is None else round_no
+        if rnd is None:
+            raise FileNotFoundError("no committed frontier snapshot")
+        return self.read_snapshot("frontier", rnd)
