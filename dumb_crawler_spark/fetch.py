@@ -66,7 +66,8 @@ def _first_failing_tag(spans: Column, tags: Column, cfg: CrawlConfig) -> Column:
             expr = F.when(t == tag, ~page_has).otherwise(expr)
         return expr
 
-    return F.element_at(F.filter(tags, fails), 1)
+    # F.get is null-safe on the empty array (no failing tag ⇒ null)
+    return F.get(F.filter(tags, fails), F.lit(0))
 
 
 def fetch_simulate(dequeued: DataFrame, docs: DataFrame, cfg: CrawlConfig) -> DataFrame:
