@@ -1,38 +1,538 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() maps every operator family from SURVEY.md §2 onto the driver's
+parquet tables (TESTDATA.md) so the DuckDB oracle can cross-check it, plus
+the training-data ops (dedup / similarity / text analysis / multimodal).
+Frontier-shaped queries treat `events` as a frontier analog
+(event_id≈url_id, value≈priority, user_id≈host) — the operator SHAPES
+(top-K dequeue window, per-host budget, anti-join seen-set, status MERGE
+split) are identical to frontier.py's, which the golden pytest suite verifies
+against the reference semantics oracle.
+
+Non-SQL-expressible entries (full crawl rounds, MinHash/SimHash LSH, Arrow
+UDF feature extraction) have no oracle_sql() twin → driver records rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dumb_crawler_spark.config import CrawlConfig
+from dumb_crawler_spark.filters import tag_filter_verdict
+from dumb_crawler_spark.ops import dedup as D
+from dumb_crawler_spark.ops import multimodal as MM
+from dumb_crawler_spark.ops import similarity as SIM
+from dumb_crawler_spark.ops import text as TX
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# frontier-shaped operators over `events` (A1/A2/J3/J5/A3/F7/A6/T2/F2/U2)
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_topk_dequeue(spark, sf):
+    """A1 global top-K dequeue (URLStore.java:185-190): ORDER BY priority
+    DESC, tiebreak id ASC, LIMIT — compiles to TakeOrderedAndProject."""
+    return (
+        _t(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+def q_frontier_perhost_budget(spark, sf):
+    """A1 politeness window [north-rule]: row_number per host ≤ budget."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"), "rn")
+    )
+
+
+def q_frontier_status_hist(spark, sf):
+    """A2 status histogram (URLStore.java:41-52)."""
+    return _t(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n_urls"))
+
+
+def q_seen_set_antijoin(spark, sf):
+    """J3 seen-set anti-join (URLStore.java:127-147): candidates minus seen."""
+    customer, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_pages_new_vs_update(spark, sf):
+    """J5 new-vs-update split (WarcStorageManager.java:38-57): 1996 orders by
+    whether the customer already ordered in 1995."""
+    orders = _t(spark, sf, "orders")
+    o96 = orders.where(F.year("o_orderdate") == 1996)
+    seen = orders.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    return (
+        o96.join(seen.withColumn("_seen", F.lit(1)), "o_custkey", "left")
+        .withColumn("is_new", F.when(F.col("_seen").isNull(), 1).otherwise(0))
+        .groupBy("is_new")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_round_metrics(spark, sf):
+    """A3 per-round counters as aggregations (SURVEY.md §2.6-A3)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )
+
+
+def q_attempt_filter(spark, sf):
+    """F7 attempt-count predicate shape (URLStore.java:186-187): eligibility
+    filter + per-host counts."""
+    return (
+        _t(spark, sf, "events")
+        .where((F.col("value") < 50) & (F.col("event_type") == "error"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_eligible"))
+    )
+
+
+def q_latest_session(spark, sf):
+    """A6 latest-session max (CrawlingSessionContext.java:180-201)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"))
+    )
+
+
+def q_priority_scoring(spark, sf):
+    """T2 tag→priority map + max (LinkPrioritizer.java:22-31) over
+    o_orderpriority as the tag analog."""
+    prio = F.create_map(
+        F.lit("1-URGENT"), F.lit(1000), F.lit("2-HIGH"), F.lit(900),
+        F.lit("3-MEDIUM"), F.lit(500), F.lit("4-NOT SPECIFIED"), F.lit(100),
+    )
+    return (
+        _t(spark, sf, "orders")
+        .select("o_custkey", F.coalesce(prio[F.col("o_orderpriority")], F.lit(0)).alias("prio"))
+        .groupBy("o_custkey")
+        .agg(F.max("prio").alias("max_prio"), F.count("*").alias("n_orders"))
+    )
+
+
+def q_tag_filter_fold(spark, sf):
+    """F2 first-match white/blacklist fold (LinkFilter.java:24-44) — the
+    engine's actual tag_filter_verdict() over [lang, source] tag arrays;
+    the oracle unrolls the same fold as nested CASE."""
+    cfg = CrawlConfig(whitelist=("en", "es"), blacklist=("zh", "src3"))
+    docs = _t(spark, sf, "documents")
+    tags = F.array(F.col("lang"), F.col("source"))
+    return docs.select("doc_id", tag_filter_verdict(tags, cfg).alias("verdict"))
+
+
+def q_url_id_hash(spark, sf):
+    """U2 id-extractor-or-md5 (URLHasher.java:31-42) over `source`."""
+    src = F.col("source")
+    extracted = F.nullif(F.regexp_extract(src, r"^src([0-9]+)$", 1), F.lit(""))
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce(extracted, F.md5(src)).alias("src_id")
+    )
+
+
+def q_resource_tagging(spark, sf):
+    """U5 isResource extension test (ExpressionFunctions.java:46-52) over a
+    synthesized path column."""
+    ext = F.element_at(
+        F.array(F.lit(".jpg"), F.lit(".css"), F.lit(".html"), F.lit("")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    path = F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"), ext)
+    from dumb_crawler_spark.urlkit import is_resource
+    return _t(spark, sf, "documents").select(
+        "doc_id", path.alias("path"), is_resource(path).cast("int").alias("is_res")
+    )
+
+
+def q_sessionize(spark, sf):
+    """C5-adjacent sessionization: 30-min-gap sessions per user (streaming
+    analog expressed as a window; watermark semantics N/A per SURVEY §2.9)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        _t(spark, sf, "events")
+        .withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style agg/join coverage
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    c, o, l, n = (_t(spark, sf, t) for t in ("customer", "orders", "lineitem", "nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_top_parts_by_revenue(spark, sf):
+    l, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_text_quality(spark, sf):
+    t = F.col("text")
+    return _t(spark, sf, "documents").select("doc_id", *TX.quality_features(t))
+
+
+def q_token_count(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def q_langid(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.predict_lang(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_fingerprint(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_quality_score(spark, sf):
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_sim_topk_cosine(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return SIM.cosine_topk(emb, qvec, k=10)
+
+
+def q_embed_cosine_dups(spark, sf):
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 500)
+    return D.embedding_cosine_pairs_brute(emb, threshold=0.8)
+
+
+def q_multimodal_meta(spark, sf):
+    """Binary-column metadata (pure Column path of multimodal.py)."""
+    media = MM.media_from_text(_t(spark, sf, "documents"))
+    return MM.media_metadata(media).select("media_id", "n_bytes", "magic")
+
+
+# -- rows-only (non-SQL-expressible) -----------------------------------------
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=16, bands=8
+    ).where(F.col("jaccard") >= 0.5)
+
+
+def q_dedup_simhash(spark, sf):
+    return D.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+
+
+def q_sim_ann_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    assigned, cents = SIM.build_ivf(emb, nlist=16)
+    return SIM.ivf_topk(assigned, cents, qvec, k=10, nprobe=4)
+
+
+def q_multimodal_features(spark, sf):
+    media = MM.media_from_text(_t(spark, sf, "documents"))
+    return MM.extract_features(media).select("media_id", "kind", "n_bytes", "sha1")
+
+
+def q_crawl_flagship(spark, sf):
+    """Full crawl rounds over a corpus derived from `documents` (rows-only:
+    the multi-round MERGE loop is not one SQL statement). Returns the exact
+    per-round dequeue order — the engine's headline semantics."""
+    from dumb_crawler_spark.corpus import corpus_config, docs_from_documents_table
+    from dumb_crawler_spark.crawler import Crawler
+
+    docs = docs_from_documents_table(_t(spark, sf, "documents"))
+    cfg = corpus_config(max_rounds=3, thread_count=8)
+    wh = tempfile.mkdtemp(prefix="dcs-flagship-")
+    crawler = Crawler(spark, cfg, docs, wh)
+    crawler.run(max_rounds=3)
+    return crawler.dequeue_order().orderBy("round", "seq")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl rounds on sf0.001; driver checks rows>0 + stable schema."""
+    return q_crawl_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "frontier_topk_dequeue": q_frontier_topk_dequeue,
+        "frontier_perhost_budget": q_frontier_perhost_budget,
+        "frontier_status_hist": q_frontier_status_hist,
+        "seen_set_antijoin": q_seen_set_antijoin,
+        "pages_new_vs_update": q_pages_new_vs_update,
+        "round_metrics": q_round_metrics,
+        "attempt_filter": q_attempt_filter,
+        "latest_session": q_latest_session,
+        "priority_scoring": q_priority_scoring,
+        "tag_filter_fold": q_tag_filter_fold,
+        "url_id_hash": q_url_id_hash,
+        "resource_tagging": q_resource_tagging,
+        "sessionize": q_sessionize,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_parts_by_revenue": q_top_parts_by_revenue,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "quality_score": q_quality_score,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "embed_cosine_dups": q_embed_cosine_dups,
+        "multimodal_meta": q_multimodal_meta,
+        # rows-only (no oracle_sql)
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        "multimodal_features": q_multimodal_features,
+        "crawl_flagship": q_crawl_flagship,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_PUNCT = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+_WS_TOKENS = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+
+def _occ(hay: str, needle: str) -> str:
+    return f"CAST((length({hay}) - length(replace({hay}, '{needle}', ''))) / {len(needle)} AS INT)"
+
+
+def _lang_score(lang: str) -> str:
+    from dumb_crawler_spark.ops.text import LANG_MARKERS
+    hay = "(' ' || lower(text) || ' ')"
+    return " + ".join(_occ(hay, m) for m in LANG_MARKERS[lang])
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en, es, de = _lang_score("en"), _lang_score("es"), _lang_score("de")
+    return {
+        "frontier_topk_dequeue": """
+            SELECT event_id, user_id, event_type, round(value, 2) AS value
+            FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+        """,
+        "frontier_perhost_budget": """
+            SELECT event_id, user_id, round(value, 2) AS value, rn FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "frontier_status_hist": "SELECT event_type, count(*) AS n_urls FROM events GROUP BY event_type",
+        "seen_set_antijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "pages_new_vs_update": """
+            SELECT CASE WHEN o.o_custkey IN (
+                     SELECT o_custkey FROM orders WHERE date_part('year', o_orderdate) = 1995)
+                   THEN 0 ELSE 1 END AS is_new,
+                   count(*) AS n_orders
+            FROM orders o WHERE date_part('year', o.o_orderdate) = 1996 GROUP BY 1
+        """,
+        "round_metrics": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+                   round(avg(value), 2) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "attempt_filter": """
+            SELECT user_id, count(*) AS n_eligible FROM events
+            WHERE value < 50 AND event_type = 'error' GROUP BY user_id
+        """,
+        "latest_session": """
+            SELECT user_id, strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM events GROUP BY user_id
+        """,
+        "priority_scoring": """
+            SELECT o_custkey,
+                   max(CASE o_orderpriority WHEN '1-URGENT' THEN 1000 WHEN '2-HIGH' THEN 900
+                       WHEN '3-MEDIUM' THEN 500 WHEN '4-NOT SPECIFIED' THEN 100 ELSE 0 END) AS max_prio,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "tag_filter_fold": """
+            SELECT doc_id,
+                   CASE WHEN lang IN ('zh','src3') THEN 'reject'
+                        WHEN lang IN ('en','es') THEN 'accept'
+                        WHEN source IN ('zh','src3') THEN 'reject'
+                        WHEN source IN ('en','es') THEN 'accept'
+                        ELSE 'pending' END AS verdict
+            FROM documents
+        """,
+        "url_id_hash": """
+            SELECT doc_id,
+                   coalesce(nullif(regexp_extract(source, '^src([0-9]+)$', 1), ''), md5(source)) AS src_id
+            FROM documents
+        """,
+        "resource_tagging": """
+            SELECT doc_id,
+                   '/docs/' || doc_id || (['.jpg','.css','.html',''])[(doc_id % 4 + 1)::INT] AS path,
+                   CASE WHEN regexp_matches(
+                     '/docs/' || doc_id || (['.jpg','.css','.html',''])[(doc_id % 4 + 1)::INT],
+                     '^.*\\.(css|js|sass|less|ico|jpeg|jpg|png|webp|pdf|mpeg|mpg|mp3|mp4|avi|ogg|wav|iso)$')
+                   THEN 1 ELSE 0 END AS is_res
+            FROM documents
+        """,
+        "sessionize": """
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+              SELECT user_id,
+                     CASE WHEN epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ) GROUP BY user_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_parts_by_revenue": """
+            SELECT p_partkey, p_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_partkey, p_name ORDER BY revenue DESC, p_partkey ASC LIMIT 10
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "text_quality": f"""
+            SELECT doc_id, length(text) AS n_chars_calc, {_WS_TOKENS} AS n_tokens,
+                   round(length(text) / {_WS_TOKENS}, 3) AS avg_token_len,
+                   round({_PUNCT} / length(text), 4) AS punct_ratio,
+                   round(({en} + {es} + {de}) / {_WS_TOKENS}, 4) AS stop_ratio
+            FROM documents
+        """,
+        "token_count": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "langid": f"""
+            SELECT doc_id,
+                   CASE WHEN {en} >= {es} AND {en} >= {de} THEN 'en'
+                        WHEN {es} >= {de} THEN 'es' ELSE 'de' END AS lang_pred
+            FROM documents
+        """,
+        "fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "quality_score": f"""
+            SELECT doc_id,
+                   greatest(least({_WS_TOKENS}, 100) - least({_PUNCT} * 2, 50), 0) AS quality
+            FROM documents
+        """,
+        "sim_topk_cosine": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        "embed_cosine_dups": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 500 AND b.vec_id < 500
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.8
+        """,
+        "multimodal_meta": """
+            SELECT doc_id::VARCHAR AS media_id, octet_length(encode(text))::INT AS n_bytes,
+                   substr(upper(hex(encode(text))), 1, 8) AS magic
+            FROM documents
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from dumb_crawler_spark.session import get_spark
+
+    s = get_spark(cores=8)
+    df = entry(s)
+    df.show(20, truncate=False)
+    print("rows:", df.count())

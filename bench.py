@@ -1,0 +1,167 @@
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Two parts:
+1. **Crawl-round throughput** (the north-rule headline): a synthetic frontier
+   of N URLs (hot-host skewed) is bootstrapped, then R full crawl rounds run
+   through the real engine — dequeue window → fetch join → extract → merge →
+   snapshot commit — and URLs/sec is reported. Scaling evidence
+   (local[8] vs local[32]) is produced by running this same script at two
+   CPU counts; see BENCH.md / scripts/scaling_report.py.
+2. **Operator suite**: representative queries() entries timed with a noop
+   sink (forces full computation — .count() alone would let Catalyst prune
+   the measured projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "200000"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
+K_PER_ROUND = int(os.environ.get("BENCH_K", "25000"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_crawl_rounds(spark, tmpdir: str) -> dict:
+    """North-rule metric: frontier URLs processed/sec per crawl round."""
+    from pyspark.sql import functions as F
+
+    from dumb_crawler_spark import frontier as FR
+    from dumb_crawler_spark.config import CrawlConfig, Politeness
+    from dumb_crawler_spark.corpus import frontier_urls_from_range
+    from dumb_crawler_spark.crawler import Crawler
+    from dumb_crawler_spark.storage import Warehouse
+
+    cfg = CrawlConfig(
+        tagger={
+            "internal": r"matches(host, '.*\.corpus\.example\.com')",
+            "doc": r"matches(path, '/doc/[0-9]+')",
+        },
+        priorities={"doc": 900, "other": 10},
+        whitelist=("internal",),
+        allow_by_default=False,
+        storage_included_tags=("doc",),
+        thread_count=K_PER_ROUND // 2,  # round budget k = 2×thread_count
+        politeness=Politeness(budget_per_host_per_round=K_PER_ROUND // 10),
+        partitions=CPUS,
+    )
+    urls = frontier_urls_from_range(spark, FRONTIER_N)
+    # docs corpus: 90% of URLs have a doc (3 arithmetic links each) — built
+    # from the same range, pure Column exprs
+    i = F.col("id")
+    n = FRONTIER_N
+    n_hosts = max(n // 1000, 4)
+    host = F.when(i % 10 == 0, F.lit("hot.corpus.example.com")).otherwise(
+        F.concat(F.lit("h"), (i % n_hosts).cast("string"), F.lit(".corpus.example.com"))
+    )
+    url = F.concat(F.lit("http://"), host, F.lit("/doc/"), i.cast("string"))
+    link = lambda e: F.concat(F.lit('<a href="http://'), host, F.lit("/doc/"), e.cast("string"), F.lit('">'))
+    span = F.struct(
+        F.lit("text").alias("kind"),
+        F.concat(F.lit("body article-body "), link((i * 7 + 1) % n), F.lit(" "), link((i * 13 + 2) % n), F.lit(" "), link((i * 3 + 5) % n)).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    docs = (
+        spark.range(n)
+        .where(i % 10 != 3)  # 10% missing → 404 path
+        .select(F.md5(url).alias("doc_id"), F.array(span).alias("spans"))
+    )
+
+    wh = Warehouse(spark, tmpdir)
+    cands = FR.make_candidates(urls, cfg)
+    fr0 = FR.merge_new_links(FR.empty_frontier(spark), cands, cfg, 0, depth=0)
+    fr0 = fr0.repartition(cfg.partitions, "part")
+    wh.write_snapshot("frontier", 0, fr0)
+    wh.commit_round(0, {"bootstrap": FRONTIER_N})
+
+    crawler = Crawler(spark, cfg, docs, tmpdir)
+    t0 = time.time()
+    stats = crawler.run(max_rounds=ROUNDS)
+    elapsed = time.time() - t0
+    processed = sum(s.dequeued for s in stats)
+    return {
+        "frontier_n": FRONTIER_N,
+        "rounds": ROUNDS,
+        "urls_processed": processed,
+        "seconds": round(elapsed, 2),
+        "urls_per_sec": round(processed / elapsed, 1),
+    }
+
+
+QUERY_NAMES = [
+    "frontier_topk_dequeue",
+    "frontier_perhost_budget",
+    "seen_set_antijoin",
+    "pages_new_vs_update",
+    "sessionize",
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_parts_by_revenue",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "token_count",
+    "langid",
+    "fingerprint",
+    "text_quality",
+    "sim_topk_cosine",
+    "sim_ann_ivf",
+    "embed_cosine_dups",
+    "multimodal_features",
+    "crawl_flagship",
+]
+
+
+def main() -> None:
+    import tempfile
+
+    from dumb_crawler_spark.session import get_spark
+
+    import __spark_entry__ as E
+
+    spark = get_spark(app="dcs-bench", cores=CPUS, shuffle_partitions=CPUS)
+    queries = E.queries()
+    timings: dict[str, float] = {}
+
+    with tempfile.TemporaryDirectory(prefix="dcs-bench-") as tmpdir:
+        t0 = time.time()
+        crawl = bench_crawl_rounds(spark, tmpdir)
+        timings["crawl_rounds"] = round(time.time() - t0, 2)
+
+        for name in QUERY_NAMES:
+            t0 = time.time()
+            df = queries[name](spark, SF_DIR)
+            _force(df)
+            timings[name] = round(time.time() - t0, 2)
+
+    total = round(sum(timings.values()), 2)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    print(json.dumps({
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "crawl": crawl,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""J3-NR: partitioned bloom URL-seen prefilter (SURVEY.md §2.5-J3, §4).
+
+Why: at the 10^10-row design point the per-round exact anti-join of candidate
+links vs the frontier is the dominant shuffle. Most extracted links are
+duplicates of already-seen URLs late in a crawl — but early on, most are NEW,
+and a bloom filter answers "definitely not seen" without touching the
+frontier. Candidates that the bloom rejects skip the exact join entirely;
+only bloom-positives (true dups + fpr false positives) shuffle into the
+anti-join. Spark's built-in runtime bloom (InjectRuntimeFilter) only works
+within one query, not across round-persisted state — hence explicit filters.
+
+Design:
+- one bloom per frontier partition ``part`` (bounded size per filter; at
+  cluster scale these live next to the Iceberg partition as round artifacts
+  and are rebuilt incrementally from the round's inserts),
+- hash values are computed JVM-side (two xxhash64 columns); the Python side
+  does only vectorized numpy bit arithmetic on Arrow batches — no per-row
+  Python, per the input_hint,
+- membership test = double hashing: idx_i = h1 + i·h2 (mod m), the standard
+  Kirsch-Mitzenmacher construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _params(n: int, fpr: float) -> tuple[int, int]:
+    """(bits m, hashes k) for n keys at target fpr; m rounded to bytes."""
+    n = max(n, 1)
+    m = int(-n * math.log(fpr) / (math.log(2) ** 2))
+    m = max((m + 7) // 8 * 8, 64)
+    k = max(int(round(m / n * math.log(2))), 1)
+    return m, min(k, 16)
+
+
+def _h1h2(url_id: Column) -> tuple[Column, Column]:
+    # JVM-side 64-bit hashes; uint64 semantics recovered in numpy
+    return F.xxhash64(url_id), F.xxhash64(url_id, F.lit(1))
+
+
+class PartitionedBloom:
+    """part → (bitmap bytes, m, k). Built distributed, collected as compact
+    bitmaps (m/8 bytes each), broadcast for the probe side."""
+
+    def __init__(self, filters: dict[int, tuple[bytes, int, int]]):
+        self.filters = filters
+
+    @staticmethod
+    def build(frontier: DataFrame, fpr: float = 0.01, expected_per_part: int | None = None) -> "PartitionedBloom":
+        """One aggregation pass: group url_id hashes by part, fold each group
+        into a bitmap with numpy (applyInPandas — Arrow batches, vectorized)."""
+        counts = {r["part"]: r["n"] for r in frontier.groupBy("part").agg(F.count("*").alias("n")).collect()}
+        if not counts:
+            return PartitionedBloom({})
+        sizes = {p: _params(expected_per_part or n, fpr) for p, n in counts.items()}
+        h1, h2 = _h1h2(F.col("url_id"))
+        hashed = frontier.select("part", h1.alias("h1"), h2.alias("h2"))
+
+        schema = T.StructType([
+            T.StructField("part", T.IntegerType()),
+            T.StructField("bitmap", T.BinaryType()),
+            T.StructField("m", T.IntegerType()),
+            T.StructField("k", T.IntegerType()),
+        ])
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            part = int(pdf["part"].iloc[0])
+            m, k = sizes[part]
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            a = pdf["h1"].to_numpy(dtype=np.int64).astype(np.uint64)
+            b = pdf["h2"].to_numpy(dtype=np.int64).astype(np.uint64)
+            for i in range(k):
+                idx = (a + np.uint64(i) * b) % np.uint64(m)
+                np.bitwise_or.at(bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8))
+            return pd.DataFrame({"part": [part], "bitmap": [bits.tobytes()], "m": [m], "k": [k]})
+
+        rows = hashed.groupBy("part").applyInPandas(fold, schema).collect()
+        return PartitionedBloom({r["part"]: (bytes(r["bitmap"]), r["m"], r["k"]) for r in rows})
+
+    def might_contain(self, df: DataFrame, url_id_col: str = "url_id", part_col: str = "part") -> DataFrame:
+        """Adds boolean ``_maybe_seen``: False ⇒ definitely NOT in the
+        frontier (skip the exact join); True ⇒ verify exactly."""
+        filters = self.filters  # closure-captured; Spark broadcasts with the task
+        h1, h2 = _h1h2(F.col(url_id_col))
+        probe = df.withColumn("_h1", h1).withColumn("_h2", h2)
+
+        @F.pandas_udf("boolean")
+        def maybe_seen(part: pd.Series, h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+            out = np.zeros(len(part), dtype=bool)
+            parts = part.to_numpy()
+            a_all = h1s.to_numpy(dtype=np.int64).astype(np.uint64)
+            b_all = h2s.to_numpy(dtype=np.int64).astype(np.uint64)
+            for p in np.unique(parts):
+                f = filters.get(int(p))
+                mask = parts == p
+                if f is None:
+                    continue  # no filter for this part ⇒ definitely new
+                bitmap = np.frombuffer(f[0], dtype=np.uint8)
+                m, k = np.uint64(f[1]), f[2]
+                a, b = a_all[mask], b_all[mask]
+                hit = np.ones(mask.sum(), dtype=bool)
+                for i in range(k):
+                    idx = (a + np.uint64(i) * b) % m
+                    hit &= (bitmap[(idx // 8).astype(np.int64)] & (1 << (idx % 8)).astype(np.uint8)) != 0
+                out[mask] = hit
+            return pd.Series(out)
+
+        return probe.withColumn(
+            "_maybe_seen", maybe_seen(F.col(part_col), F.col("_h1"), F.col("_h2"))
+        ).drop("_h1", "_h2")
+
+
+def prefiltered_new_rows(candidates: DataFrame, frontier: DataFrame, bloom: PartitionedBloom) -> DataFrame:
+    """Candidates not in the frontier, with the bloom shortcut:
+    definitely-new rows bypass the shuffle; only maybe-seen rows anti-join.
+    Exactness preserved (bloom has no false negatives)."""
+    probed = bloom.might_contain(candidates)
+    certain_new = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspects = probed.where(F.col("_maybe_seen")).drop("_maybe_seen")
+    verified_new = suspects.join(frontier.select("url_id"), "url_id", "left_anti")
+    return certain_new.unionByName(verified_new)

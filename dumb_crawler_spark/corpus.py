@@ -199,6 +199,19 @@ def corpus_config(max_rounds: int | None = None, budget: int | None = None,
     )
 
 
+def frontier_urls_from_range(spark, n: int) -> DataFrame:
+    """Synthetic frontier universe for the bench (north rule: 10^10-URL
+    design point, measured at reduced n locally): n URLs spread over
+    n/1000 hosts + one hot host holding 10% of URLs (skew)."""
+    i = F.col("id")
+    n_hosts = max(n // 1000, 4)
+    host = F.when(
+        i % 10 == 0, F.lit("hot.corpus.example.com")
+    ).otherwise(F.concat(F.lit("h"), (i % n_hosts).cast("string"), F.lit(".corpus.example.com")))
+    url = F.concat(F.lit("http://"), host, F.lit("/doc/"), i.cast("string"))
+    return spark.range(n).select(url.alias("url"))
+
+
 def docs_from_documents_table(documents: DataFrame) -> DataFrame:
     """Derive a crawl corpus from TESTDATA's ``documents`` table with pure
     Column expressions (scales with the table; zero Python).

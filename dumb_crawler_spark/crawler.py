@@ -52,12 +52,29 @@ class RoundStats:
 
 
 class Crawler:
-    def __init__(self, spark: SparkSession, cfg: CrawlConfig, docs: DataFrame, warehouse_dir: str | Path):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        docs: DataFrame,
+        warehouse_dir: str | Path,
+        robots: DataFrame | None = None,
+        use_bloom: bool = False,
+        round_interval_ms: int = 60_000,
+    ):
         self.spark = spark
         self.cfg = cfg
         self.docs = docs
         self.wh = Warehouse(spark, warehouse_dir)
         self.history: list[RoundStats] = []
+        self.robots = robots if cfg.politeness.respect_robots else None
+        self.use_bloom = use_bloom
+        self._host_budgets = None
+        if self.robots is not None:
+            from .robots import host_budgets
+
+            default = cfg.politeness.budget_per_host_per_round or 2**31 - 1
+            self._host_budgets = host_budgets(self.robots, round_interval_ms, default).cache()
 
     # -- bootstrap / resume ----------------------------------------------------
     def bootstrap(self) -> int:
@@ -92,7 +109,7 @@ class Crawler:
         # A1 dequeue; k mirrors the reference's 2×pool backpressure budget
         # (DumbCrawler.java:266-274)
         k = cfg.thread_count * 2
-        dq = FR.dequeue(fr, cfg, k).cache()
+        dq = FR.dequeue(fr, cfg, k, host_budgets=self._host_budgets).cache()
         stats.dequeued = dq.count()
         if stats.dequeued == 0:
             return stats
@@ -124,13 +141,24 @@ class Crawler:
         stats.add("ALLOWED_LINKS", lcm.get(True, 0))
         stats.add("IGNORED_LINKS", lcm.get(False, 0))
         allowed_cands = FR.filter_allowed(link_cands, cfg)
+        if self.robots is not None:  # J6-NR robots path-prefix gate
+            from .robots import filter_robots_allowed
+
+            n_before = allowed_cands.count()
+            allowed_cands = filter_robots_allowed(allowed_cands, self.robots)
+            stats.add("ROBOTS_BLOCKED_LINKS", n_before - allowed_cands.count())
 
         # C3 completion merge + S4 new-link merge on the frontier
         results = fetched.select("url_id", "tags", "ok", "error")
         fr1 = FR.mark_taken(fr, dq, round_no)
         fr2 = FR.mark_completed(fr1, results, cfg, round_no)
         before = fr2.count()
-        fr3 = FR.merge_new_links(fr2, allowed_cands, cfg, round_no, depth=round_no)
+        bloom = None
+        if self.use_bloom:
+            from .bloom import PartitionedBloom
+
+            bloom = PartitionedBloom.build(fr.select("url_id", "part"))
+        fr3 = FR.merge_new_links(fr2, allowed_cands, cfg, round_no, depth=round_no, bloom=bloom)
         fr3 = fr3.repartition(cfg.partitions, "part")
         self.wh.write_snapshot("frontier", round_no, fr3)
         after = self.wh.read_snapshot("frontier", round_no).count()

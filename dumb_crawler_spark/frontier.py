@@ -107,7 +107,12 @@ def dedupe_in_batch(candidates: DataFrame) -> DataFrame:
 
 
 def merge_new_links(
-    frontier: DataFrame, candidates: DataFrame, cfg: CrawlConfig, round_no: int, depth: int
+    frontier: DataFrame,
+    candidates: DataFrame,
+    cfg: CrawlConfig,
+    round_no: int,
+    depth: int,
+    bloom=None,
 ) -> DataFrame:
     """S4+J3: insert candidates not already in the seen-set.
 
@@ -122,7 +127,15 @@ def merge_new_links(
     so the join is co-partitioned at scale (SPJ).
     """
     cands = dedupe_in_batch(candidates.where(is_http(F.col("url"))))
-    new_rows = cands.join(frontier.select("url_id"), "url_id", "left_anti").select(
+    if bloom is not None:
+        # J3-NR: bloom prefilter — definitely-unseen candidates skip the
+        # shuffle; only bloom-positives hit the exact anti-join (bloom.py)
+        from .bloom import prefiltered_new_rows
+
+        new_src = prefiltered_new_rows(cands, frontier, bloom)
+    else:
+        new_src = cands.join(frontier.select("url_id"), "url_id", "left_anti")
+    new_rows = new_src.select(
         "url_id",
         "url",
         "host",
@@ -140,7 +153,12 @@ def merge_new_links(
     return frontier.unionByName(new_rows)
 
 
-def dequeue(frontier: DataFrame, cfg: CrawlConfig, k: int | None) -> DataFrame:
+def dequeue(
+    frontier: DataFrame,
+    cfg: CrawlConfig,
+    k: int | None,
+    host_budgets: DataFrame | None = None,
+) -> DataFrame:
     """A1: priority-ordered top-K of QUEUED rows (URLStore.java:185-190).
 
     Total order per SURVEY.md §2.8-D2: (priority DESC, attempt ASC, url_id ASC)
@@ -156,7 +174,23 @@ def dequeue(frontier: DataFrame, cfg: CrawlConfig, k: int | None) -> DataFrame:
         (F.col("status") == QUEUED) & can_attempt(F.col("attempt"), cfg)
     )
     budget = cfg.politeness.budget_per_host_per_round
-    if budget is not None:
+    if host_budgets is not None:
+        # robots crawl-delay modulation (robots.py host_budgets): per-host
+        # cap = min(config budget, delay-derived budget); broadcast join,
+        # the frontier side keeps its partitioning
+        eligible = eligible.join(F.broadcast(host_budgets), "host", "left")
+        cap = F.coalesce(F.col("host_budget"), F.lit(budget if budget is not None else 2**31 - 1))
+        if budget is not None:
+            cap = F.least(cap, F.lit(budget))
+        w = Window.partitionBy("host").orderBy(
+            F.desc("priority"), F.asc("attempt"), F.asc("url_id")
+        )
+        eligible = (
+            eligible.withColumn("_hr", F.row_number().over(w))
+            .where(F.col("_hr") <= cap)
+            .drop("_hr", "host_budget")
+        )
+    elif budget is not None:
         w = Window.partitionBy("host").orderBy(
             F.desc("priority"), F.asc("attempt"), F.asc("url_id")
         )

@@ -1,0 +1,292 @@
+"""Deduplication operators for large-scale corpus curation: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB corpus):
+- Exact dedup is one hash-groupBy — the shuffle keys on the content hash, so
+  AQE handles skew (identical boilerplate docs collapse into one hot key →
+  skew-split).
+- MinHash/LSH and SimHash avoid the O(n²) pair space by shuffling on BAND
+  buckets / bit chunks: only candidates sharing a bucket meet, and the
+  verify step is per-bucket local. Everything is Column expressions —
+  xxhash64 is Spark's JVM-side 64-bit hash, array higher-order functions
+  build signatures without Python.
+- Pair outputs are canonicalized (left id < right id) so downstream
+  aggregation dedups trivially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per exact (normalized) content hash.
+    Returns (hash, keep_id, n_dups). One shuffle, map-side partial agg."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        docs.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text (array<string>, distinct)."""
+    toks = F.split(normalize_text(text), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """num_hashes-wide MinHash signature: h_i = min over shingles of
+    xxhash64(shingle, i). array<bigint>, pure JVM."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    signature → `bands` bands of num_hashes/bands rows; docs sharing any
+    band hash become a candidate pair; pairs are then verified with exact
+    shingle Jaccard. Returns (a, b, jaccard) with a < b.
+
+    Shuffle profile: explode(bands) → groupBy(band, band_hash) — the pair
+    space never materializes globally, only within buckets. Oversized
+    buckets (boilerplate explosion) are capped defensively.
+    """
+    rows_per_band = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    banded = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # bucket-local pairs: self-join per (band, band_hash); cap bucket size
+    w = Window.partitionBy("band", "bh").orderBy("id")
+    capped = banded.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= 64)
+    left = capped.select("band", "bh", F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    right = capped.select("band", "bh", F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .dropDuplicates(["a", "b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return pairs.select(
+        "a", "b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, via shingle inverted index — no LSH approximation)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_shingle: int = 3,
+    max_shingle_freq: int = 256,
+) -> DataFrame:
+    """Exact shingle-Jaccard pairs ≥ threshold via an inverted index:
+    explode shingles → join on shingle → count shared per pair →
+    jaccard = shared / (|A| + |B| − shared).
+
+    ``max_shingle_freq`` drops stop-shingles (present in too many docs) —
+    the standard scale guard: a shingle in f docs contributes f² join rows.
+    """
+    base = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("n"))
+    inv = base.select("id", F.explode("sh").alias("s"))
+    freq = inv.groupBy("s").agg(F.count("*").alias("f")).where(F.col("f") <= max_shingle_freq)
+    inv = inv.join(F.broadcast(freq.select("s")), "s")
+    shared = (
+        inv.alias("l")
+        .join(inv.alias("r"), "s")
+        .where(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the whitespace tokens of normalized text.
+
+    Per bit i: sign of Σ_tokens (bit_i(xxhash64(token)) ? +1 : −1); packed
+    into one bigint. All array higher-order functions — executes in codegen.
+    """
+    toks = F.split(normalize_text(text), " ")
+    # counts[i] = Σ ±1 over tokens for bit i. Bit positions are Python-level
+    # literals (F.shiftright requires a static shift amount).
+    bits_of = lambda t: F.array(
+        *[
+            F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for i in range(64)
+        ]
+    )
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, bits_of(t), lambda a, b: a + b),
+    )
+    # masks: bit 63 is the sign bit of a signed long
+    masks = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)])
+    packed = F.aggregate(
+        F.zip_with(counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return packed
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidate generation: split the 64-bit signature into 4 × 16-bit chunks;
+    by pigeonhole, hamming ≤ 3 ⇒ at least one chunk identical — join on
+    (chunk_idx, chunk_value), verify exact hamming with bit_count(xor).
+    """
+    sig = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "sig", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    l = chunks.select("ci", "cv", F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    r = chunks.select("ci", "cv", F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    cand = l.join(r, ["ci", "cv"]).where(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("a", "b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, LSH-bucketed.
+
+    Random-hyperplane LSH: `bits` sign bits from deterministic pseudo-random
+    hyperplanes (hash-derived coefficients, no RNG state needed); vectors
+    share a bucket iff all bits equal — then exact cosine verifies. High
+    thresholds ⇒ near-identical vectors ⇒ almost always same bucket.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # hyperplane j coefficient for dim i: hash-derived in [-0.5, 0.5)
+    def plane_dot(j: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: x * ((F.pmod(F.xxhash64(i, F.lit(j), F.lit(seed)), 1000) / 1000.0) - 0.5),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    bucket = sum(
+        (F.when(plane_dot(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
+        F.lit(0),
+    )
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bucket"))
+    l = base.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
+    r = base.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    pairs = l.join(r, "bucket").where(F.col("a") < F.col("b"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4)
+    return pairs.select("a", "b", cos.alias("cosine")).where(F.col("cosine") >= threshold)
+
+
+def embedding_cosine_pairs_brute(
+    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact O(n²) variant — correctness baseline / oracle twin for small n."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    l = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    r = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    pairs = l.crossJoin(r).where(F.col("a") < F.col("b"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4)
+    return pairs.select("a", "b", cos.alias("cosine")).where(F.col("cosine") >= threshold)

@@ -1,0 +1,113 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: one scan, per-partition
+  heap top-k (TakeOrderedAndProject), k-row driver merge. The correctness
+  baseline; also the right plan when the query set is small.
+- :func:`ivf_topk` — IVF-style scale path: partition vectors by nearest
+  centroid (computed once), probe only the closest `nprobe` centroids per
+  query. At 100 TB this turns full scans into `nprobe/nlist` partial scans,
+  with the centroid assignment stored as a partition column so partition
+  pruning does the skipping.
+
+All vector math is `zip_with`/`aggregate` Column expressions (JVM). The
+dot product of float32 inputs is computed in float64 after an explicit cast
+— deterministic and oracle-comparable (DuckDB list_* functions are float64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine (desc), id asc tiebreak. Returns (id, cosine)."""
+    q = _query_lit(query_vec)
+    v = _as_double(F.col(vec_col))
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(v, q), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def build_ivf(
+    emb: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign every vector to its nearest of `nlist` centroids.
+
+    Centroids are the deterministic first `nlist` vectors by id — a cheap,
+    reproducible seeding (k-means refinement would be iterative `groupBy` +
+    recompute; one assignment pass is enough to demonstrate the partition-
+    pruned probe plan and keeps the oracle expressible).
+    Returns (assigned_df with `list_id`, centroids).
+    """
+    cents = [
+        [float(x) for x in r[vec_col]]
+        for r in emb.orderBy(id_col).limit(nlist).collect()
+    ]
+    v = _as_double(F.col(vec_col))
+    sims = F.array(*[cosine(v, _query_lit(c)) for c in cents])
+    list_id = F.expr(
+        "array_position(sims_arr, array_max(sims_arr)) - 1"
+    )
+    assigned = emb.withColumn("sims_arr", sims).withColumn("list_id", list_id.cast("int")).drop("sims_arr")
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score centroids against the query on the driver
+    (nlist is tiny), scan only the `nprobe` best lists. With `list_id` as a
+    partition column this is pure partition pruning at scale."""
+    import math
+
+    def py_cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    probe = sorted(range(len(centroids)), key=lambda i: -py_cos(centroids[i], query_vec))[:nprobe]
+    q = _query_lit(query_vec)
+    v = _as_double(F.col(vec_col))
+    return (
+        assigned.where(F.col("list_id").isin(probe))
+        .select(F.col(id_col), F.round(cosine(v, q), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
