@@ -139,12 +139,13 @@ def main() -> None:
     queries = E.queries()
     timings: dict[str, float] = {}
 
+    crawl_only = os.environ.get("BENCH_CRAWL_ONLY") == "1"
     with tempfile.TemporaryDirectory(prefix="dcs-bench-") as tmpdir:
         t0 = time.time()
         crawl = bench_crawl_rounds(spark, tmpdir)
         timings["crawl_rounds"] = round(time.time() - t0, 2)
 
-        for name in QUERY_NAMES:
+        for name in [] if crawl_only else QUERY_NAMES:
             t0 = time.time()
             df = queries[name](spark, SF_DIR)
             _force(df)

@@ -69,6 +69,7 @@ class Crawler:
         self.history: list[RoundStats] = []
         self.robots = robots if cfg.politeness.respect_robots else None
         self.use_bloom = use_bloom
+        self._fr_count = 0  # remembered frontier size (avoids before/after double counts)
         self._host_budgets = None
         if self.robots is not None:
             from .robots import host_budgets
@@ -83,6 +84,7 @@ class Crawler:
         last = self.wh.last_committed_round()
         if last is not None:
             self.wh.rollback_uncommitted()
+            self._fr_count = self.wh.read_frontier(last).count()
             return last
         seeds_df = self.spark.createDataFrame(
             [(s,) for s in self.cfg.seeds], T.StructType([T.StructField("url", T.StringType())])
@@ -94,7 +96,8 @@ class Crawler:
         fr = FR.merge_new_links(FR.empty_frontier(self.spark), cands, self.cfg, 0, depth=0)
         fr = fr.repartition(self.cfg.partitions, "part")
         self.wh.write_snapshot("frontier", 0, fr)
-        stats.add("DISCOVERED_URLS", self.wh.read_snapshot("frontier", 0).count())
+        self._fr_count = self.wh.read_snapshot("frontier", 0).count()
+        stats.add("DISCOVERED_URLS", self._fr_count)
         self._append_metrics(0, stats)
         self.wh.commit_round(0, {"dequeued": 0, "seeded": len(self.cfg.seeds)})
         self.history.append(stats)
@@ -110,15 +113,18 @@ class Crawler:
         # (DumbCrawler.java:266-274)
         k = cfg.thread_count * 2
         dq = FR.dequeue(fr, cfg, k, host_budgets=self._host_budgets).cache()
-        stats.dequeued = dq.count()
-        if stats.dequeued == 0:
-            return stats
 
         # T4 re-tag + re-filter; disallowed rows leak as PROCESSING (reference
-        # marks taken before filtering, URLStore.java:191-206 + DumbCrawler.java:275-279)
+        # marks taken before filtering, URLStore.java:191-206 + DumbCrawler.java:275-279).
+        # One job materializes dq+retagged AND yields dequeued/allowed counts.
         retagged = FR.retag_dequeued(dq, cfg).cache()
         allowed = retagged.where(F.col("_allowed")).drop("_allowed")
         verdicts = {r["_allowed"]: r["n"] for r in retagged.groupBy("_allowed").agg(F.count("*").alias("n")).collect()}
+        stats.dequeued = verdicts.get(True, 0) + verdicts.get(False, 0)
+        if stats.dequeued == 0:
+            dq.unpersist()
+            retagged.unpersist()
+            return stats
         stats.add("ALLOWED_LINKS", verdicts.get(True, 0))
         stats.add("IGNORED_LINKS", verdicts.get(False, 0))
 
@@ -148,11 +154,36 @@ class Crawler:
             allowed_cands = filter_robots_allowed(allowed_cands, self.robots)
             stats.add("ROBOTS_BLOCKED_LINKS", n_before - allowed_cands.count())
 
+        # fetch-stage counters — ONE aggregation pass over fetched yields
+        # PROCESSED_URLS, every ERROR_*, MAX_ATTEMPT_COUNT_REACHED and the
+        # F3 store split (A3; URLStore.java:176-180, AbstractStorageManager.java:37-50)
+        fstats = (
+            fetched.select(
+                "error",
+                (F.col("attempt") + 1 >= cfg.max_attempt_count).alias("maxed"),
+                (F.col("ok") & should_store(F.col("tags"), cfg)).alias("store"),
+                "ok",
+            )
+            .groupBy("error", "maxed", "store", "ok")
+            .count()
+            .collect()
+        )
+        n_errors = 0
+        for r in fstats:
+            if r["error"] is None:
+                stats.add("PROCESSED_URLS", r["count"])
+            else:
+                stats.add(f"ERROR_{r['error']}", r["count"])
+                n_errors += r["count"]
+            if r["maxed"]:
+                stats.add("MAX_ATTEMPT_COUNT_REACHED", r["count"])
+            if r["ok"] and not r["store"]:
+                stats.add("UNSAVED_PAGES", r["count"])
+
         # C3 completion merge + S4 new-link merge on the frontier
         results = fetched.select("url_id", "tags", "ok", "error")
         fr1 = FR.mark_taken(fr, dq, round_no)
         fr2 = FR.mark_completed(fr1, results, cfg, round_no)
-        before = fr2.count()
         bloom = None
         if self.use_bloom:
             from .bloom import PartitionedBloom
@@ -161,29 +192,17 @@ class Crawler:
         fr3 = FR.merge_new_links(fr2, allowed_cands, cfg, round_no, depth=round_no, bloom=bloom)
         fr3 = fr3.repartition(cfg.partitions, "part")
         self.wh.write_snapshot("frontier", round_no, fr3)
+        # DISCOVERED = snapshot growth vs the remembered previous count —
+        # ONE metadata-cheap parquet count instead of two full-plan counts
         after = self.wh.read_snapshot("frontier", round_no).count()
-        stats.add("DISCOVERED_URLS", after - before)
-
-        # counters from the fetch stage
-        err_counts = fetched.groupBy("error").agg(F.count("*").alias("n")).collect()
-        for r in err_counts:
-            if r["error"] is None:
-                stats.add("PROCESSED_URLS", r["n"])
-            else:
-                stats.add(f"ERROR_{r['error']}", r["n"])
-        # attempt+1 ≥ max on completion (URLStore.java:176-180)
-        stats.add(
-            "MAX_ATTEMPT_COUNT_REACHED",
-            fetched.where(F.col("attempt") + 1 >= cfg.max_attempt_count).count(),
-        )
+        stats.add("DISCOVERED_URLS", after - self._fr_count)
+        self._fr_count = after
 
         # S7/S8 pages sink with F3 gate + J5 new-vs-update
         storable = ok_rows.withColumn("_store", should_store(F.col("tags"), cfg))
         saved = storable.where(F.col("_store")).select(
             "url_id", "url", F.lit(round_no).alias("round"), order_spans(F.col("spans")).alias("spans")
         )
-        unsaved_n = storable.where(~F.col("_store")).count()
-        stats.add("UNSAVED_PAGES", unsaved_n)
         pages_so_far = self.wh.read_deltas("pages", upto_round=round_no - 1)
         if pages_so_far is not None:
             # J5: left join against existing url_ids — column-pruned scan of
@@ -194,8 +213,8 @@ class Crawler:
         else:
             saved = saved.withColumn("_old", F.lit(None).cast("boolean"))
         saved = saved.cache()
-        new_n = saved.where(F.col("_old").isNull()).count()
-        upd_n = saved.where(F.col("_old").isNotNull()).count()
+        sv = {r["old"]: r["count"] for r in saved.groupBy(F.col("_old").isNotNull().alias("old")).count().collect()}
+        new_n, upd_n = sv.get(False, 0), sv.get(True, 0)
         stats.add("NEW_SAVED_PAGES", new_n)
         stats.add("UPDATED_PAGES", upd_n)
         stats.add("SAVED_PAGES", new_n + upd_n)
@@ -203,10 +222,10 @@ class Crawler:
             self.wh.append_delta("pages", round_no, saved.drop("_old"))
 
         # S11 errors sink (debug-file analog: keep the failing row + its spans)
-        errors = fetched.where(~F.col("ok")).select(
-            "url_id", "url", "error", F.lit(round_no).alias("round"), "spans"
-        )
-        if errors.limit(1).count():
+        if n_errors:
+            errors = fetched.where(~F.col("ok")).select(
+                "url_id", "url", "error", F.lit(round_no).alias("round"), "spans"
+            )
             self.wh.append_delta("errors", round_no, errors)
 
         # dequeue-order lineage (golden-comparable): global D2 order. The
