@@ -137,16 +137,22 @@ def generate_web(
         if j % missing_every == 0:
             continue  # linked but missing → 404 analog
         url = f"http://{MAIN_HOST}/articles/{j}"
+        if j == 5:  # blank body → EMPTY_RESPONSE_BODY (F6, CrawlingTaskCallable.java:46-48)
+            put(url, [])
+            continue
         body_marker = "" if j % invalid_every == 0 else " article-body"
         n_links = 0 if j == 1 else (12 if j == 2 else rng.randint(1, 4))
         links = []
         for _ in range(n_links):
             t = rng.randint(1, n_articles - 1)
             links.append(f'<a href="/articles/{t}">')
+        if j == 3:  # >300 distinct links (A4 warn path, CrawlingTaskCallable.java:54-56)
+            links += [f'<a href="/articles/2?v={i}">' for i in range(320)]
+        tail = "" if j == 1 else f' <a href="http://{MAIN_HOST}/">'  # j=1: zero links (A4 empty warn)
         s = [
             _text(0, f"article {j} headline{body_marker}"),
-            _media(1, f"http://{CDN}/img/{j}.png"),
-            _text(2, "body text " + " ".join(links) + f' <a href="http://{MAIN_HOST}/">'),
+            _media(1, f"http://{CDN}/img/{j}.png") if j != 1 else _text(1, "no media no links"),
+            _text(2, "body text " + " ".join(links) + tail),
         ]
         if j % 3 == 0:  # some docs carry extra interleaving
             s.append(_media(3, f"http://{CDN}/vid/{j}.mp4"))

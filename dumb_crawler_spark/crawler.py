@@ -128,13 +128,15 @@ class Crawler:
         stats.add("ALLOWED_LINKS", verdicts.get(True, 0))
         stats.add("IGNORED_LINKS", verdicts.get(False, 0))
 
-        # J4 + F5/F6
-        fetched = fetch_simulate(allowed, self.docs, cfg).cache()
-
-        # L2 on ok rows
-        ok_rows = fetched.where(F.col("ok")).withColumn(
-            "links", extract_links(F.col("spans"), F.col("url"))
+        # J4 + F5/F6, then L2 link extraction on ok rows — computed before the
+        # cache so the links array is materialized once and reused by the
+        # counter agg, the link-ingest explode, and nothing else recomputes it
+        fetched = (
+            fetch_simulate(allowed, self.docs, cfg)
+            .withColumn("links", F.when(F.col("ok"), extract_links(F.col("spans"), F.col("url"))))
+            .cache()
         )
+        ok_rows = fetched.where(F.col("ok"))
 
         # link-ingest (§3.2): explode → canonicalize/tag/score → F2 counters → merge
         exploded = ok_rows.select(F.explode_outer("links").alias("url")).where(F.col("url").isNotNull())
@@ -162,9 +164,11 @@ class Crawler:
                 "error",
                 (F.col("attempt") + 1 >= cfg.max_attempt_count).alias("maxed"),
                 (F.col("ok") & should_store(F.col("tags"), cfg)).alias("store"),
+                (F.col("ok") & (F.size("links") == 0)).alias("no_links"),
+                (F.col("ok") & (F.size("links") > 300)).alias("many_links"),
                 "ok",
             )
-            .groupBy("error", "maxed", "store", "ok")
+            .groupBy("error", "maxed", "store", "no_links", "many_links", "ok")
             .count()
             .collect()
         )
@@ -179,6 +183,11 @@ class Crawler:
                 stats.add("MAX_ATTEMPT_COUNT_REACHED", r["count"])
             if r["ok"] and not r["store"]:
                 stats.add("UNSAVED_PAGES", r["count"])
+            # A4 warn metrics (DumbCrawler.java:108-110, CrawlingTaskCallable.java:54-56)
+            if r["no_links"]:
+                stats.add("WARN_EMPTY_LINKS", r["count"])
+            if r["many_links"]:
+                stats.add("WARN_TOO_MANY_LINKS", r["count"])
 
         # C3 completion merge + S4 new-link merge on the frontier
         results = fetched.select("url_id", "tags", "ok", "error")
@@ -255,8 +264,17 @@ class Crawler:
         self.wh.append_delta("metrics", round_no, self.spark.createDataFrame(rows, schema))
 
     # -- loop -------------------------------------------------------------------
-    def run(self, max_rounds: int | None = None) -> list[RoundStats]:
+    def run(
+        self, max_rounds: int | None = None, refetch: bool = False, verbose: bool = False
+    ) -> list[RoundStats]:
         start = self.bootstrap()
+        if refetch and start > 0:
+            # C4 refetch-all reset (dormant in the reference: URLStore.java:60-68
+            # hardcodes refetch=false — `UPDATE links SET status = 0`)
+            fr = self.wh.read_frontier(start).withColumn(
+                "status", F.lit(FR.QUEUED).cast("tinyint")
+            )
+            self.wh.write_snapshot("frontier", start, fr)
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         rnd = start
         rounds_without_new_pages = 0
@@ -264,6 +282,12 @@ class Crawler:
             rnd += 1
             stats = self.run_round(rnd)
             self.history.append(stats)
+            if verbose:
+                # C8 stats printer analog (DumbCrawler.java:196-231): one
+                # structured line per round instead of a 60s wall-clock timer
+                import json as _json
+
+                print(_json.dumps({"round": rnd, "dequeued": stats.dequeued, **stats.counters}))
             if stats.dequeued == 0:  # C6 empty-frontier stop
                 self.wh.write_terminated({"round": rnd, "reason": "frontier_empty"})
                 break

@@ -309,6 +309,11 @@ class OracleCrawler:
                         break
             if error is None:
                 links = extract_links(spans, e.url)
+                # A4 warn metrics (DumbCrawler.java:108-110, CrawlingTaskCallable.java:54-56)
+                if not links:
+                    self.r.counters["WARN_EMPTY_LINKS"] += 1
+                if len(links) > 300:
+                    self.r.counters["WARN_TOO_MANY_LINKS"] += 1
                 # link-ingest: tag → score → F2 filter → merge (§3.2)
                 cands = []
                 for link in links:

@@ -1,0 +1,94 @@
+"""Structured Streaming surface (SURVEY.md §2.9): continuous link ingest via
+foreachBatch merges into the frontier exactly like batch rounds; watermarked
+windowed metrics seal correctly."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dumb_crawler_spark.corpus import canonical_config
+from dumb_crawler_spark.storage import Warehouse
+from dumb_crawler_spark.streaming import (
+    URL_SCHEMA,
+    stream_event_metrics,
+    stream_ingest_links,
+    windowed_event_counts,
+)
+
+
+def _write_urls(spark, path, urls):
+    spark.createDataFrame([(u,) for u in urls], URL_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(path))
+
+
+def test_stream_ingest_links(spark, tmp_path):
+    cfg = canonical_config()
+    incoming = tmp_path / "incoming"
+    _write_urls(spark, incoming, [
+        "http://site.example.com/articles/1",
+        "http://site.example.com/img/x.png",   # resource → blacklisted (F2)
+        "http://elsewhere.org/a",              # not whitelisted
+    ])
+    q = stream_ingest_links(
+        spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    wh = Warehouse(spark, tmp_path / "wh")
+    urls = {r["url"] for r in wh.read_frontier().collect()}
+    assert urls == {"http://site.example.com/articles/1"}
+
+    # second batch: one replayed URL (idempotent merge) + one new
+    _write_urls(spark, incoming, [
+        "http://site.example.com/articles/1",
+        "http://site.example.com/articles/2",
+    ])
+    q2 = stream_ingest_links(
+        spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    rows = Warehouse(spark, tmp_path / "wh").read_frontier().collect()
+    assert {r["url"] for r in rows} == {
+        "http://site.example.com/articles/1",
+        "http://site.example.com/articles/2",
+    }
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["http://site.example.com/articles/1"].created_round == 1  # not re-inserted
+
+
+def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    rows = [
+        ("2024-01-01 00:01:00", "click", 1.0),
+        ("2024-01-01 00:05:00", "click", 2.0),
+        ("2024-01-01 00:11:00", "click", 4.0),
+        ("2024-01-01 02:00:00", "view", 8.0),  # advances watermark far past the first windows
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+        F.col("ts").cast("timestamp"), "event_type", "value"
+    )
+    batch = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+             for r in windowed_event_counts(df).collect()}
+    assert batch[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert batch[("2024-01-01 00:10:00", "click")] == (1, 4.0)
+
+    incoming = tmp_path / "ev"
+    df.coalesce(1).write.mode("append").parquet(str(incoming))
+    q = stream_event_metrics(
+        spark, str(incoming), str(tmp_path / "ckpt2"), "ev_counts", schema
+    )
+    q.awaitTermination(120)
+    got = {(str(r["window_start"]), r["event_type"]): (r["n"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM ev_counts").collect()}
+    # append mode emits only watermark-sealed windows: both click windows are
+    # sealed by the 02:00 event (watermark 30m), the view window is not
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:10:00", "click")] == (1, 4.0)
+    assert ("2024-01-01 02:00:00", "view") not in got
