@@ -76,12 +76,20 @@ def fetch_simulate(dequeued: DataFrame, docs: DataFrame, cfg: CrawlConfig) -> Da
 
     Output: dequeued columns + spans, render_via, error (null = ok), ok.
     """
+    # A naive `dequeued LEFT JOIN docs` cannot broadcast its small (left)
+    # side — Spark's BroadcastHashJoin can't build the preserved side of an
+    # outer join, so it would silently sort-merge-shuffle the 100 TB docs
+    # table. Split instead into two joins that each broadcast the k-bounded
+    # batch: an inner probe of the docs scan (hits) + a tiny anti-join for
+    # the misses (404 rows). Plan-asserted in tests/test_misc.py.
     d = F.broadcast(dequeued)
-    joined = d.join(
-        docs.select(F.col("doc_id"), F.col("spans").alias("spans")),
-        dequeued["url_id"] == docs["doc_id"],
-        "left",
+    hits = docs.select("doc_id", "spans").join(
+        d, docs["doc_id"] == dequeued["url_id"], "inner"
     ).drop("doc_id")
+    misses = dequeued.join(
+        F.broadcast(hits.select("url_id")), "url_id", "left_anti"
+    ).withColumn("spans", F.lit(None).cast(hits.schema["spans"].dataType))
+    joined = hits.unionByName(misses.select(*hits.columns))
     failing_tag = _first_failing_tag(F.col("spans"), F.col("tags"), cfg)
     error = (
         F.when(F.col("spans").isNull(), F.lit(ERR_404))

@@ -27,7 +27,7 @@ Scale notes (10^10 rows, 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -199,10 +199,59 @@ def dequeue(
             .where(F.col("_hr") <= budget)
             .drop("_hr")
         )
-    out = eligible.orderBy(F.desc("priority"), F.asc("attempt"), F.asc("url_id"))
-    if k is not None:
-        out = out.limit(k)
-    return out.select("url_id", "url", "host", "tags", "priority", "attempt", "depth", "part")
+    cols = ["url_id", "url", "host", "tags", "priority", "attempt", "depth", "part"]
+    if k is None:
+        return eligible.select(*cols)
+    if k <= _TOPK_THRESHOLD_CUTOFF:
+        # TakeOrderedAndProject: per-partition heap top-k, k-row driver merge
+        out = eligible.orderBy(F.desc("priority"), F.asc("attempt"), F.asc("url_id"))
+        return out.limit(k).select(*cols)
+    return _dequeue_threshold(eligible, k).select(*cols)
+
+
+# Above this k, TakeOrderedAndProject's single-task merge of
+# (numPartitions × k) rows becomes the serial bottleneck; switch to the
+# histogram-threshold plan (same exact D2 semantics, measured in BENCH.md).
+_TOPK_THRESHOLD_CUTOFF = 10_000
+
+
+def _dequeue_threshold(eligible: DataFrame, k: int) -> DataFrame:
+    """Exact large-k top-K without a global sort.
+
+    Priorities are small ints (tag scores), so the (priority, attempt)
+    histogram is tiny: collect it, walk it in D2 order until the cumulative
+    count reaches k — whole classes above the boundary are taken wholesale
+    (a parallel filter, no ordering at all); only the single boundary class
+    is topped-off by url_id with a small TakeOrdered. At 10^10 rows this
+    replaces a k×P-row single-task merge with one histogram agg + one filter.
+    """
+    hist = sorted(
+        eligible.groupBy("priority", "attempt").count().collect(),
+        key=lambda r: (-r["priority"], r["attempt"]),
+    )
+    taken, boundary, remaining = [], None, k
+    for r in hist:
+        if r["count"] <= remaining:
+            taken.append((r["priority"], r["attempt"]))
+            remaining -= r["count"]
+            if remaining == 0:
+                break
+        else:
+            boundary = (r["priority"], r["attempt"], remaining)
+            break
+    whole: Column = F.lit(False)
+    for p, a in taken:
+        whole = whole | ((F.col("priority") == p) & (F.col("attempt") == a))
+    out = eligible.where(whole)
+    if boundary is not None:
+        p, a, r = boundary
+        edge = (
+            eligible.where((F.col("priority") == p) & (F.col("attempt") == a))
+            .orderBy(F.asc("url_id"))
+            .limit(r)
+        )
+        out = out.unionByName(edge)
+    return out
 
 
 def retag_dequeued(dequeued: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -221,7 +270,9 @@ def retag_dequeued(dequeued: DataFrame, cfg: CrawlConfig) -> DataFrame:
 def mark_taken(frontier: DataFrame, dequeued: DataFrame, round_no: int) -> DataFrame:
     """status QUEUED→PROCESSING + taken_round (URLStore.java:191-206).
     Iceberg: MERGE … WHEN MATCHED UPDATE; locally left join + conditional."""
-    taken = dequeued.select("url_id", F.lit(True).alias("_taken"))
+    # broadcast the k-bounded update side — the frontier (10^10 rows) must
+    # never shuffle for a status flip
+    taken = F.broadcast(dequeued.select("url_id", F.lit(True).alias("_taken")))
     return (
         frontier.join(taken, "url_id", "left")
         .withColumn(
@@ -245,11 +296,13 @@ def mark_completed(frontier: DataFrame, results: DataFrame, cfg: CrawlConfig, ro
     CrawlingException.shouldRetry is never used to requeue
     (CrawlingException.java:11, SURVEY.md §2.8-C3). attempt += 1 always.
     """
-    upd = results.select(
-        "url_id",
-        F.col("tags").alias("_new_tags"),
-        F.when(F.col("ok"), F.lit(PROCESSED)).otherwise(F.lit(FAILED)).cast("tinyint").alias("_new_status"),
-        F.col("error").alias("_new_error"),
+    upd = F.broadcast(  # k-bounded update side; frontier stays un-shuffled
+        results.select(
+            "url_id",
+            F.col("tags").alias("_new_tags"),
+            F.when(F.col("ok"), F.lit(PROCESSED)).otherwise(F.lit(FAILED)).cast("tinyint").alias("_new_status"),
+            F.col("error").alias("_new_error"),
+        )
     )
     out = (
         frontier.join(upd, "url_id", "left")

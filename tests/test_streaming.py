@@ -30,8 +30,9 @@ def test_stream_ingest_links(spark, tmp_path):
     incoming = tmp_path / "incoming"
     _write_urls(spark, incoming, [
         "http://site.example.com/articles/1",
-        "http://site.example.com/img/x.png",   # resource → blacklisted (F2)
-        "http://elsewhere.org/a",              # not whitelisted
+        "http://site.example.com/img/x.png",   # [internal, resource]: whitelist hit first → ACCEPT (F2 fold order)
+        "http://elsewhere.org/img/x.png",      # [resource] only → blacklisted
+        "http://elsewhere.org/a",              # not whitelisted → allowByDefault=false
     ])
     q = stream_ingest_links(
         spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ckpt")
@@ -39,7 +40,10 @@ def test_stream_ingest_links(spark, tmp_path):
     q.awaitTermination(120)
     wh = Warehouse(spark, tmp_path / "wh")
     urls = {r["url"] for r in wh.read_frontier().collect()}
-    assert urls == {"http://site.example.com/articles/1"}
+    assert urls == {
+        "http://site.example.com/articles/1",
+        "http://site.example.com/img/x.png",
+    }
 
     # second batch: one replayed URL (idempotent merge) + one new
     _write_urls(spark, incoming, [
@@ -53,6 +57,7 @@ def test_stream_ingest_links(spark, tmp_path):
     rows = Warehouse(spark, tmp_path / "wh").read_frontier().collect()
     assert {r["url"] for r in rows} == {
         "http://site.example.com/articles/1",
+        "http://site.example.com/img/x.png",
         "http://site.example.com/articles/2",
     }
     by_url = {r["url"]: r for r in rows}
