@@ -70,16 +70,25 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     )
     url = F.concat(F.lit("http://"), host, F.lit("/doc/"), i.cast("string"))
     link = lambda e: F.concat(F.lit('<a href="http://'), host, F.lit("/doc/"), e.cast("string"), F.lit('">'))
-    span = F.struct(
+    # realistic page weight: ~2 KB of prose per text span, 6 links per page
+    filler = F.repeat(F.concat(F.lit("lorem ipsum content block "), i.cast("string"), F.lit(" ")), 64)
+    t1 = F.concat(
+        F.lit("body article-body "), filler,
+        link((i * 7 + 1) % n), F.lit(" "), link((i * 13 + 2) % n), F.lit(" "), link((i * 3 + 5) % n),
+    )
+    t2 = F.concat(
+        filler, link((i * 11 + 4) % n), F.lit(" "), link((i * 17 + 6) % n), F.lit(" "), link((i * 5 + 8) % n),
+    )
+    span = lambda txt, off: F.struct(
         F.lit("text").alias("kind"),
-        F.concat(F.lit("body article-body "), link((i * 7 + 1) % n), F.lit(" "), link((i * 13 + 2) % n), F.lit(" "), link((i * 3 + 5) % n)).alias("text"),
+        txt.alias("text"),
         F.lit(None).cast("string").alias("media_ref"),
-        F.lit(0).alias("offset"),
+        F.lit(off).alias("offset"),
     )
     docs = (
         spark.range(n)
         .where(i % 10 != 3)  # 10% missing → 404 path
-        .select(F.md5(url).alias("doc_id"), F.array(span).alias("spans"))
+        .select(F.md5(url).alias("doc_id"), F.array(span(t1, 0), span(t2, 1)).alias("spans"))
     )
 
     wh = Warehouse(spark, tmpdir)

@@ -77,6 +77,17 @@ class Crawler:
             default = cfg.politeness.budget_per_host_per_round or 2**31 - 1
             self._host_budgets = host_budgets(self.robots, round_interval_ms, default).cache()
 
+    def _write_frontier(self, round_no: int, fr) -> None:
+        """Snapshot write with explicit layout: repartition by `part` (the
+        salted host bucket — Iceberg bucket-spec analog) and sort within
+        partitions by (status, priority DESC) — the `WRITE ORDERED BY`
+        analog, so parquet row-group min/max stats let the dequeue's
+        status==0 pushdown skip completed row groups entirely."""
+        out = fr.repartition(self.cfg.partitions, "part").sortWithinPartitions(
+            "status", F.desc("priority")
+        )
+        self.wh.write_snapshot("frontier", round_no, out)
+
     # -- bootstrap / resume ----------------------------------------------------
     def bootstrap(self) -> int:
         """Seed injection (S2) as round 0, or resume from the last committed
@@ -94,8 +105,7 @@ class Crawler:
         non_http = cands.where(~F.col("url").startswith("http")).count()
         stats.add("IGNORED_URLS", non_http)
         fr = FR.merge_new_links(FR.empty_frontier(self.spark), cands, self.cfg, 0, depth=0)
-        fr = fr.repartition(self.cfg.partitions, "part")
-        self.wh.write_snapshot("frontier", 0, fr)
+        self._write_frontier(0, fr)
         self._fr_count = self.wh.read_snapshot("frontier", 0).count()
         stats.add("DISCOVERED_URLS", self._fr_count)
         self._append_metrics(0, stats)
@@ -189,18 +199,16 @@ class Crawler:
             if r["many_links"]:
                 stats.add("WARN_TOO_MANY_LINKS", r["count"])
 
-        # C3 completion merge + S4 new-link merge on the frontier
+        # C3: taken+completed transitions fused into one frontier join
         results = fetched.select("url_id", "tags", "ok", "error")
-        fr1 = FR.mark_taken(fr, dq, round_no)
-        fr2 = FR.mark_completed(fr1, results, cfg, round_no)
+        fr2 = FR.apply_round_updates(fr, dq, results, cfg, round_no)
         bloom = None
         if self.use_bloom:
             from .bloom import PartitionedBloom
 
             bloom = PartitionedBloom.build(fr.select("url_id", "part"))
         fr3 = FR.merge_new_links(fr2, allowed_cands, cfg, round_no, depth=round_no, bloom=bloom)
-        fr3 = fr3.repartition(cfg.partitions, "part")
-        self.wh.write_snapshot("frontier", round_no, fr3)
+        self._write_frontier(round_no, fr3)
         # DISCOVERED = snapshot growth vs the remembered previous count —
         # ONE metadata-cheap parquet count instead of two full-plan counts
         after = self.wh.read_snapshot("frontier", round_no).count()

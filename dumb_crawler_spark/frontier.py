@@ -322,6 +322,53 @@ def mark_completed(frontier: DataFrame, results: DataFrame, cfg: CrawlConfig, ro
     return out
 
 
+def apply_round_updates(
+    frontier: DataFrame, dequeued: DataFrame, results: DataFrame, cfg: CrawlConfig, round_no: int
+) -> DataFrame:
+    """mark_taken + mark_completed fused into ONE frontier join (one broadcast
+    of the k-bounded update side instead of two full-frontier passes).
+
+    Exact same semantics: every dequeued row → PROCESSING + taken_round;
+    rows with a result → PROCESSED/FAILED + fresh tags + error + attempt+1 +
+    completed_round; dequeued-but-filtered rows stay PROCESSING (the
+    reference's leak, URLStore.java:191-206 + DumbCrawler.java:275-279).
+    Equivalence to the two-step path is pinned in tests.
+    """
+    upd = F.broadcast(
+        dequeued.select("url_id")
+        .join(
+            results.select(
+                "url_id", F.col("tags").alias("_nt"), "ok", F.col("error").alias("_ne")
+            ),
+            "url_id",
+            "left",
+        )
+        .select(
+            "url_id",
+            F.when(F.col("ok").isNull(), F.lit(PROCESSING))
+            .when(F.col("ok"), F.lit(PROCESSED))
+            .otherwise(F.lit(FAILED))
+            .cast("tinyint")
+            .alias("_ns"),
+            "_nt",
+            "_ne",
+            F.col("ok").isNotNull().alias("_done"),
+        )
+    )
+    j = frontier.join(upd, "url_id", "left")
+    touched = F.col("_ns").isNotNull()
+    done = F.coalesce(F.col("_done"), F.lit(False))
+    return (
+        j.withColumn("status", F.coalesce(F.col("_ns"), F.col("status")))
+        .withColumn("taken_round", F.when(touched, F.lit(round_no)).otherwise(F.col("taken_round")))
+        .withColumn("tags", F.when(done, F.col("_nt")).otherwise(F.col("tags")))
+        .withColumn("error", F.when(done, F.col("_ne")).otherwise(F.col("error")))
+        .withColumn("attempt", F.when(done, F.col("attempt") + 1).otherwise(F.col("attempt")))
+        .withColumn("completed_round", F.when(done, F.lit(round_no)).otherwise(F.col("completed_round")))
+        .drop("_ns", "_nt", "_ne", "_done")
+    )
+
+
 def status_counts(frontier: DataFrame) -> DataFrame:
     """A2: SELECT status, count(*) GROUP BY status (URLStore.java:41-52) —
     partial/final hash agg, no full shuffle of data, only of counts."""

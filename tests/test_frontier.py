@@ -110,3 +110,29 @@ def test_status_counts(spark):
     ])
     got = {r["status"]: r["count"] for r in FR.status_counts(fr).collect()}
     assert got == {0: 1, 2: 2}
+
+
+def test_apply_round_updates_equals_two_step(spark):
+    """The fused taken+completed join must equal mark_taken → mark_completed."""
+    cfg = CrawlConfig(max_attempt_count=5)
+    fr = _mk_frontier(spark, [
+        ("a", "http://h/a", "h", 1, 0, 0),
+        ("b", "http://h/b", "h", 1, 0, 0),
+        ("c", "http://h/c", "h", 1, 0, 0),   # dequeued but filtered → leaked PROCESSING
+        ("d", "http://h/d", "h", 1, 0, 0),   # untouched
+    ])
+    dq = spark.createDataFrame([("a",), ("b",), ("c",)], "url_id string")
+    results = spark.createDataFrame(
+        [("a", ["fresh"], True, None), ("b", ["fresh"], False, "E")],
+        "url_id string, tags array<string>, ok boolean, error string",
+    )
+    fused = FR.apply_round_updates(fr, dq, results, cfg, round_no=4)
+    two_step = FR.mark_completed(FR.mark_taken(fr, dq, 4), results, cfg, 4)
+    cols = sorted(fr.columns)
+    key = lambda t: repr(t)
+    fused_rows = sorted((tuple(r[c] for c in cols) for r in fused.collect()), key=key)
+    two_rows = sorted((tuple(r[c] for c in cols) for r in two_step.collect()), key=key)
+    assert fused_rows == two_rows
+    st = {r["url_id"]: r for r in fused.collect()}
+    assert st["c"]["status"] == FR.PROCESSING and st["c"]["taken_round"] == 4
+    assert st["d"]["status"] == FR.QUEUED
