@@ -49,16 +49,36 @@ class PartitionedBloom:
     """part → (bitmap bytes, m, k). Built distributed, collected as compact
     bitmaps (m/8 bytes each), broadcast for the probe side."""
 
-    def __init__(self, filters: dict[int, tuple[bytes, int, int]]):
+    def __init__(self, filters: dict[int, tuple[bytes, int, int]], expected_per_part: int | None = None):
         self.filters = filters
+        self.expected_per_part = expected_per_part
+
+    def union(self, other: "PartitionedBloom") -> "PartitionedBloom":
+        """Incremental growth (per-round): OR the bitmaps of filters built
+        with the SAME (m, k) presizing — rebuild over 10^10 rows every round
+        is exactly what this avoids; only the round's inserts get hashed."""
+        merged = dict(self.filters)
+        for p, (bm, m, k) in other.filters.items():
+            if p in merged:
+                bm0, m0, k0 = merged[p]
+                if (m0, k0) != (m, k):
+                    raise ValueError(f"incompatible bloom sizing for part {p}: {(m0, k0)} vs {(m, k)}")
+                merged[p] = (bytes(a | b for a, b in zip(bm0, bm)), m, k)
+            else:
+                merged[p] = (bm, m, k)
+        return PartitionedBloom(merged, self.expected_per_part or other.expected_per_part)
 
     @staticmethod
     def build(frontier: DataFrame, fpr: float = 0.01, expected_per_part: int | None = None) -> "PartitionedBloom":
         """One aggregation pass: group url_id hashes by part, fold each group
-        into a bitmap with numpy (applyInPandas — Arrow batches, vectorized)."""
+        into a bitmap with numpy (applyInPandas — Arrow batches, vectorized).
+
+        Pass ``expected_per_part`` (capacity presizing) when the filter will
+        grow incrementally via :meth:`union` — all increments must share it.
+        """
         counts = {r["part"]: r["n"] for r in frontier.groupBy("part").agg(F.count("*").alias("n")).collect()}
         if not counts:
-            return PartitionedBloom({})
+            return PartitionedBloom({}, expected_per_part)
         sizes = {p: _params(expected_per_part or n, fpr) for p, n in counts.items()}
         h1, h2 = _h1h2(F.col("url_id"))
         hashed = frontier.select("part", h1.alias("h1"), h2.alias("h2"))
@@ -82,7 +102,9 @@ class PartitionedBloom:
             return pd.DataFrame({"part": [part], "bitmap": [bits.tobytes()], "m": [m], "k": [k]})
 
         rows = hashed.groupBy("part").applyInPandas(fold, schema).collect()
-        return PartitionedBloom({r["part"]: (bytes(r["bitmap"]), r["m"], r["k"]) for r in rows})
+        return PartitionedBloom(
+            {r["part"]: (bytes(r["bitmap"]), r["m"], r["k"]) for r in rows}, expected_per_part
+        )
 
     def might_contain(self, df: DataFrame, url_id_col: str = "url_id", part_col: str = "part") -> DataFrame:
         """Adds boolean ``_maybe_seen``: False ⇒ definitely NOT in the

@@ -70,6 +70,8 @@ class Crawler:
         self.robots = robots if cfg.politeness.respect_robots else None
         self.use_bloom = use_bloom
         self._fr_count = 0  # remembered frontier size (avoids before/after double counts)
+        self._bloom = None
+        self._bloom_capacity = 0
         self._host_budgets = None
         if self.robots is not None:
             from .robots import host_budgets
@@ -206,9 +208,27 @@ class Crawler:
         if self.use_bloom:
             from .bloom import PartitionedBloom
 
-            bloom = PartitionedBloom.build(fr.select("url_id", "part"))
+            if self._bloom is None:
+                # first build presizes capacity so later increments can union
+                self._bloom_capacity = max(4096, (self._fr_count // cfg.partitions + 1) * 8)
+                self._bloom = PartitionedBloom.build(
+                    fr.select("url_id", "part"), expected_per_part=self._bloom_capacity
+                )
+            bloom = self._bloom
         fr3 = FR.merge_new_links(fr2, allowed_cands, cfg, round_no, depth=round_no, bloom=bloom)
         self._write_frontier(round_no, fr3)
+        if self.use_bloom:
+            # incremental: hash ONLY this round's inserts into the filter
+            from .bloom import PartitionedBloom
+
+            inserted = self.wh.read_snapshot("frontier", round_no).where(
+                F.col("created_round") == round_no
+            )
+            self._bloom = self._bloom.union(
+                PartitionedBloom.build(
+                    inserted.select("url_id", "part"), expected_per_part=self._bloom_capacity
+                )
+            )
         # DISCOVERED = snapshot growth vs the remembered previous count —
         # ONE metadata-cheap parquet count instead of two full-plan counts
         after = self.wh.read_snapshot("frontier", round_no).count()
