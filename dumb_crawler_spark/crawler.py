@@ -265,15 +265,14 @@ class Crawler:
             )
             self.wh.append_delta("errors", round_no, errors)
 
-        # dequeue-order lineage (golden-comparable): global D2 order. The
-        # single-partition window is over ≤k rows (the dequeued batch), never
-        # the frontier — bounded driver-side cost by construction.
-        w = Window.orderBy(F.desc("priority"), F.asc("attempt"), F.asc("url_id"))
-        dq_order = dq.select(
-            F.lit(round_no).alias("round"),
-            (F.row_number().over(w) - 1).alias("seq"),
-            "url_id",
-        )
+        # dequeue-order lineage (golden-comparable): global D2 order as a
+        # range-partitioned sort (parallel) + zipWithIndex for contiguous
+        # seq — no single-partition window over the k-row batch.
+        sorted_dq = dq.orderBy(
+            F.desc("priority"), F.asc("attempt"), F.asc("url_id")
+        ).select("url_id")
+        indexed = sorted_dq.rdd.zipWithIndex().map(lambda t: (round_no, t[1], t[0]["url_id"]))
+        dq_order = self.spark.createDataFrame(indexed, "round int, seq long, url_id string")
         self.wh.append_delta("dequeue_order", round_no, dq_order)
 
         self._append_metrics(round_no, stats)

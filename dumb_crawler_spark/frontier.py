@@ -245,12 +245,41 @@ def _dequeue_threshold(eligible: DataFrame, k: int) -> DataFrame:
     out = eligible.where(whole)
     if boundary is not None:
         p, a, r = boundary
-        edge = (
-            eligible.where((F.col("priority") == p) & (F.col("attempt") == a))
-            .orderBy(F.asc("url_id"))
-            .limit(r)
-        )
-        out = out.unionByName(edge)
+        cls = eligible.where((F.col("priority") == p) & (F.col("attempt") == a))
+        out = out.unionByName(_topoff_by_url_id(cls, r))
+    return out
+
+
+def _topoff_by_url_id(cls: DataFrame, r: int, prefix_len: int = 3) -> DataFrame:
+    """Exact r smallest url_ids of one (priority, attempt) class without a
+    giant single-task merge.
+
+    Degenerate case this exists for: uniform priorities make the boundary
+    class the WHOLE frontier, so `orderBy(url_id).limit(r)` would merge
+    r × P rows in one task (19M rows at r=600k, P=32 — measured to flatten
+    scaling completely). Instead: histogram on the url_id PREFIX (prefix
+    order ≡ string order), take whole prefix buckets below the cut, and
+    TakeOrdered only inside the single boundary bucket (≈ class/16^len rows
+    for hash ids; exact for ANY id distribution, just less pruned).
+    """
+    if r <= _TOPK_THRESHOLD_CUTOFF:
+        return cls.orderBy(F.asc("url_id")).limit(r)
+    pre = F.substring("url_id", 1, prefix_len)
+    hist = sorted(cls.groupBy(pre.alias("_p")).count().collect(), key=lambda x: x["_p"])
+    taken_prefixes, boundary_prefix, remaining = [], None, r
+    for row in hist:
+        if row["count"] <= remaining:
+            taken_prefixes.append(row["_p"])
+            remaining -= row["count"]
+            if remaining == 0:
+                break
+        else:
+            boundary_prefix = row["_p"]
+            break
+    out = cls.where(pre.isin(taken_prefixes)) if taken_prefixes else None
+    if boundary_prefix is not None and remaining > 0:
+        edge = cls.where(pre == boundary_prefix).orderBy(F.asc("url_id")).limit(remaining)
+        out = edge if out is None else out.unionByName(edge)
     return out
 
 

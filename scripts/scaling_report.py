@@ -26,6 +26,9 @@ def run_level(cpus: int, frontier_n: int, rounds: int, k: int) -> dict:
         BENCH_ROUNDS=str(rounds),
         BENCH_K=str(k),
         BENCH_CRAWL_ONLY="1",
+        # both levels get the same large heap: the comparison must vary CORES
+        # only, and 32 concurrent tasks × wide rows GC-thrash a small heap
+        SPARK_DRIVER_MEM=os.environ.get("SCALING_DRIVER_MEM", "90g"),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")], env=env, capture_output=True, text=True, check=True
