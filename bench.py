@@ -85,11 +85,17 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(off).alias("offset"),
     )
-    docs = (
+    # materialize the corpus: the "web" is a stored table, not a generative
+    # function — regenerating ~4 KB of strings per doc per round would bill
+    # GC churn to the engine and hide real scan behavior
+    docs_path = os.path.join(tmpdir, "_docs")
+    (
         spark.range(n)
         .where(i % 10 != 3)  # 10% missing → 404 path
         .select(F.md5(url).alias("doc_id"), F.array(span(t1, 0), span(t2, 1)).alias("spans"))
+        .write.mode("overwrite").parquet(docs_path)
     )
+    docs = spark.read.parquet(docs_path)
 
     wh = Warehouse(spark, tmpdir)
     # direct bootstrap: synthetic URLs are unique by construction, so the
@@ -122,6 +128,7 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
         "urls_processed": processed,
         "seconds": round(elapsed, 2),
         "urls_per_sec": round(processed / elapsed, 1),
+        "phases": {k: round(v, 2) for k, v in sorted(crawler.phase_times.items())},
     }
 
 

@@ -23,6 +23,8 @@ variable; rounds replace wall-clock per SURVEY.md D3).
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -32,7 +34,7 @@ from pyspark.sql import types as T
 
 from . import frontier as FR
 from .config import CrawlConfig
-from .extract import extract_links, order_spans
+from .extract import order_spans
 from .fetch import fetch_simulate
 from .filters import is_url_allowed, should_store
 from .storage import Warehouse
@@ -61,6 +63,7 @@ class Crawler:
         robots: DataFrame | None = None,
         use_bloom: bool = False,
         round_interval_ms: int = 60_000,
+        compact_every: int = 16,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -69,7 +72,9 @@ class Crawler:
         self.history: list[RoundStats] = []
         self.robots = robots if cfg.politeness.respect_robots else None
         self.use_bloom = use_bloom
+        self.compact_every = compact_every  # MoR delta-window bound (frontier.py)
         self._fr_count = 0  # remembered frontier size (avoids before/after double counts)
+        self.phase_times: dict[str, float] = {}  # accumulated per-phase secs (perf triage)
         self._bloom = None
         self._bloom_capacity = 0
         self._host_budgets = None
@@ -78,6 +83,14 @@ class Crawler:
 
             default = cfg.politeness.budget_per_host_per_round or 2**31 - 1
             self._host_budgets = host_budgets(self.robots, round_interval_ms, default).cache()
+
+    @contextmanager
+    def _phase(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.phase_times[name] = self.phase_times.get(name, 0.0) + (time.time() - t0)
 
     def _write_frontier(self, round_no: int, fr) -> None:
         """Snapshot write with explicit layout: repartition by `part` (the
@@ -119,44 +132,66 @@ class Crawler:
     def run_round(self, round_no: int) -> RoundStats:
         cfg = self.cfg
         stats = RoundStats(round_no)
-        fr = self.wh.read_frontier(round_no - 1)
+        # dequeue-eligible view: pushdown-friendly, no column reconciliation
+        # (frontier.queued_view — terminal-transition invariant)
+        frq = self.wh.read_frontier_queued(round_no - 1)
 
         # A1 dequeue; k mirrors the reference's 2×pool backpressure budget
-        # (DumbCrawler.java:266-274)
+        # (DumbCrawler.java:266-274). The capped eligible set is cached ONCE —
+        # the histogram passes, the top-K and the politeness window all read
+        # it, so the frontier is scanned (and the queued-view broadcast
+        # built) exactly once per round.
         k = cfg.thread_count * 2
-        dq = FR.dequeue(fr, cfg, k, host_budgets=self._host_budgets).cache()
+        eligible = FR.eligible_capped(frq, cfg, host_budgets=self._host_budgets).cache()
+        with self._phase("eligible_cache"):
+            eligible.count()
+        with self._phase("dequeue_plan"):
+            dq = FR.topk_from_eligible(eligible, k).cache()
 
         # T4 re-tag + re-filter; disallowed rows leak as PROCESSING (reference
         # marks taken before filtering, URLStore.java:191-206 + DumbCrawler.java:275-279).
         # One job materializes dq+retagged AND yields dequeued/allowed counts.
         retagged = FR.retag_dequeued(dq, cfg).cache()
         allowed = retagged.where(F.col("_allowed")).drop("_allowed")
-        verdicts = {r["_allowed"]: r["n"] for r in retagged.groupBy("_allowed").agg(F.count("*").alias("n")).collect()}
+        with self._phase("dequeue"):
+            verdicts = {r["_allowed"]: r["n"] for r in retagged.groupBy("_allowed").agg(F.count("*").alias("n")).collect()}
         stats.dequeued = verdicts.get(True, 0) + verdicts.get(False, 0)
         if stats.dequeued == 0:
             dq.unpersist()
             retagged.unpersist()
+            eligible.unpersist()
             return stats
         stats.add("ALLOWED_LINKS", verdicts.get(True, 0))
         stats.add("IGNORED_LINKS", verdicts.get(False, 0))
 
-        # J4 + F5/F6, then L2 link extraction on ok rows — computed before the
-        # cache so the links array is materialized once and reused by the
-        # counter agg, the link-ingest explode, and nothing else recomputes it
-        fetched = (
-            fetch_simulate(allowed, self.docs, cfg)
-            .withColumn("links", F.when(F.col("ok"), extract_links(F.col("spans"), F.col("url"))))
-            .cache()
-        )
+        # J4 + F5/F6 + L2 link extraction, materialized as a per-round parquet
+        # artifact (`fetch` table) instead of an executor-heap cache: the rows
+        # carry full span payloads (~KBs each), and columnar-compressed files
+        # + column-pruned re-reads beat caching GBs of span data in the heap
+        # (measured: the cache build GC-thrashed local[32] into anti-scaling).
+        # Downstream consumers each read only the columns they need.
+        with self._phase("fetch_write"):
+            from .extract import BASE_PART_COLS, extract_links_with_base, with_base_parts
+
+            self.wh.append_delta(
+                "fetch",
+                round_no,
+                with_base_parts(fetch_simulate(allowed, self.docs, cfg))
+                .withColumn("links", F.when(F.col("ok"), extract_links_with_base(F.col("spans"))))
+                .withColumn("n_links", F.size("links"))
+                .drop(*BASE_PART_COLS),
+            )
+        fetched = self.wh.read_delta("fetch", round_no)
         ok_rows = fetched.where(F.col("ok"))
 
         # link-ingest (§3.2): explode → canonicalize/tag/score → F2 counters → merge
         exploded = ok_rows.select(F.explode_outer("links").alias("url")).where(F.col("url").isNotNull())
         link_cands = FR.make_candidates(exploded, cfg).cache()
-        lc = (
-            link_cands.withColumn("_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg))
-            .groupBy("_ok").agg(F.count("*").alias("n")).collect()
-        )
+        with self._phase("fetch_extract"):
+            lc = (
+                link_cands.withColumn("_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg))
+                .groupBy("_ok").agg(F.count("*").alias("n")).collect()
+            )
         lcm = {r["_ok"]: r["n"] for r in lc}
         stats.add("ALLOWED_LINKS", lcm.get(True, 0))
         stats.add("IGNORED_LINKS", lcm.get(False, 0))
@@ -171,19 +206,20 @@ class Crawler:
         # fetch-stage counters — ONE aggregation pass over fetched yields
         # PROCESSED_URLS, every ERROR_*, MAX_ATTEMPT_COUNT_REACHED and the
         # F3 store split (A3; URLStore.java:176-180, AbstractStorageManager.java:37-50)
-        fstats = (
-            fetched.select(
-                "error",
-                (F.col("attempt") + 1 >= cfg.max_attempt_count).alias("maxed"),
-                (F.col("ok") & should_store(F.col("tags"), cfg)).alias("store"),
-                (F.col("ok") & (F.size("links") == 0)).alias("no_links"),
-                (F.col("ok") & (F.size("links") > 300)).alias("many_links"),
-                "ok",
+        with self._phase("fetch_stats"):
+            fstats = (
+                fetched.select(
+                    "error",
+                    (F.col("attempt") + 1 >= cfg.max_attempt_count).alias("maxed"),
+                    (F.col("ok") & should_store(F.col("tags"), cfg)).alias("store"),
+                    (F.col("ok") & (F.col("n_links") == 0)).alias("no_links"),
+                    (F.col("ok") & (F.col("n_links") > 300)).alias("many_links"),
+                    "ok",
+                )
+                .groupBy("error", "maxed", "store", "no_links", "many_links", "ok")
+                .count()
+                .collect()
             )
-            .groupBy("error", "maxed", "store", "no_links", "many_links", "ok")
-            .count()
-            .collect()
-        )
         n_errors = 0
         for r in fstats:
             if r["error"] is None:
@@ -201,9 +237,15 @@ class Crawler:
             if r["many_links"]:
                 stats.add("WARN_TOO_MANY_LINKS", r["count"])
 
-        # C3: taken+completed transitions fused into one frontier join
+        # C3 as a k-row MoR update delta — the frontier is NEVER rewritten
+        # in-round (frontier.round_update_delta; compaction below bounds the
+        # delta window). At 10^10 rows this is the difference between O(k)
+        # and O(frontier) per-round write cost.
         results = fetched.select("url_id", "tags", "ok", "error")
-        fr2 = FR.apply_round_updates(fr, dq, results, cfg, round_no)
+        with self._phase("upd_write"):
+            self.wh.write_frontier_updates(round_no, FR.round_update_delta(dq, results, round_no))
+
+        seen_ids = self.wh.read_frontier_seen_ids(round_no - 1)
         bloom = None
         if self.use_bloom:
             from .bloom import PartitionedBloom
@@ -211,29 +253,25 @@ class Crawler:
             if self._bloom is None:
                 # first build presizes capacity so later increments can union
                 self._bloom_capacity = max(4096, (self._fr_count // cfg.partitions + 1) * 8)
-                self._bloom = PartitionedBloom.build(
-                    fr.select("url_id", "part"), expected_per_part=self._bloom_capacity
-                )
+                self._bloom = PartitionedBloom.build(seen_ids, expected_per_part=self._bloom_capacity)
             bloom = self._bloom
-        fr3 = FR.merge_new_links(fr2, allowed_cands, cfg, round_no, depth=round_no, bloom=bloom)
-        self._write_frontier(round_no, fr3)
-        if self.use_bloom:
+        new_rows = FR.new_link_rows(seen_ids, allowed_cands, round_no, depth=round_no, bloom=bloom)
+        with self._phase("ins_write"):
+            self.wh.write_frontier_inserts(round_no, new_rows)
+        with self._phase("frontier_count"):
+            inserted_n = self.wh.read_frontier_inserts(round_no).count()
+        stats.add("DISCOVERED_URLS", inserted_n)
+        self._fr_count += inserted_n
+        if self.use_bloom and inserted_n:
             # incremental: hash ONLY this round's inserts into the filter
             from .bloom import PartitionedBloom
 
-            inserted = self.wh.read_snapshot("frontier", round_no).where(
-                F.col("created_round") == round_no
-            )
             self._bloom = self._bloom.union(
                 PartitionedBloom.build(
-                    inserted.select("url_id", "part"), expected_per_part=self._bloom_capacity
+                    self.wh.read_frontier_inserts(round_no).select("url_id", "part"),
+                    expected_per_part=self._bloom_capacity,
                 )
             )
-        # DISCOVERED = snapshot growth vs the remembered previous count —
-        # ONE metadata-cheap parquet count instead of two full-plan counts
-        after = self.wh.read_snapshot("frontier", round_no).count()
-        stats.add("DISCOVERED_URLS", after - self._fr_count)
-        self._fr_count = after
 
         # S7/S8 pages sink with F3 gate + J5 new-vs-update
         storable = ok_rows.withColumn("_store", should_store(F.col("tags"), cfg))
@@ -250,13 +288,15 @@ class Crawler:
         else:
             saved = saved.withColumn("_old", F.lit(None).cast("boolean"))
         saved = saved.cache()
-        sv = {r["old"]: r["count"] for r in saved.groupBy(F.col("_old").isNotNull().alias("old")).count().collect()}
+        with self._phase("pages_split"):
+            sv = {r["old"]: r["count"] for r in saved.groupBy(F.col("_old").isNotNull().alias("old")).count().collect()}
         new_n, upd_n = sv.get(False, 0), sv.get(True, 0)
         stats.add("NEW_SAVED_PAGES", new_n)
         stats.add("UPDATED_PAGES", upd_n)
         stats.add("SAVED_PAGES", new_n + upd_n)
         if new_n + upd_n:
-            self.wh.append_delta("pages", round_no, saved.drop("_old"))
+            with self._phase("pages_write"):
+                self.wh.append_delta("pages", round_no, saved.drop("_old"))
 
         # S11 errors sink (debug-file analog: keep the failing row + its spans)
         if n_errors:
@@ -268,27 +308,43 @@ class Crawler:
         # dequeue-order lineage (golden-comparable): global D2 order as a
         # range-partitioned sort (parallel) + zipWithIndex for contiguous
         # seq — no single-partition window over the k-row batch.
-        sorted_dq = dq.orderBy(
-            F.desc("priority"), F.asc("attempt"), F.asc("url_id")
-        ).select("url_id")
-        indexed = sorted_dq.rdd.zipWithIndex().map(lambda t: (round_no, t[1], t[0]["url_id"]))
-        dq_order = self.spark.createDataFrame(indexed, "round int, seq long, url_id string")
-        self.wh.append_delta("dequeue_order", round_no, dq_order)
+        # dequeue-order lineage (golden-comparable): distributed contiguous
+        # D2 rank, all-JVM (frontier.dequeue_order_index)
+        with self._phase("dq_order"):
+            self.wh.append_delta(
+                "dequeue_order", round_no, FR.dequeue_order_index(dq, round_no)
+            )
 
-        self._append_metrics(round_no, stats)
-        self.wh.commit_round(round_no, {"dequeued": stats.dequeued, **stats.counters})
-        for c in (dq, retagged, fetched, link_cands, saved):
+        # periodic MoR compaction: reconcile deltas into a fresh base snapshot
+        # so the delta window (and the broadcast upd side) stays bounded —
+        # the Iceberg rewrite_data_files analog, amortized over compact_every
+        # rounds
+        if self.compact_every and round_no % self.compact_every == 0:
+            with self._phase("compact"):
+                self._write_frontier(round_no, self.wh.read_frontier(round_no))
+
+        with self._phase("commit"):
+            self._append_metrics(round_no, stats)
+            self.wh.commit_round(round_no, {"dequeued": stats.dequeued, **stats.counters})
+        for c in (dq, retagged, eligible, link_cands, saved):
             c.unpersist()
         return stats
 
     def _append_metrics(self, round_no: int, stats: RoundStats) -> None:
-        rows = [(round_no, k, int(v)) for k, v in sorted(stats.counters.items())]
-        schema = T.StructType([
-            T.StructField("round", T.IntegerType()),
-            T.StructField("counter", T.StringType()),
-            T.StructField("value", T.LongType()),
-        ])
-        self.wh.append_delta("metrics", round_no, self.spark.createDataFrame(rows, schema))
+        import pyarrow as pa
+
+        items = sorted(stats.counters.items())
+        self.wh.append_delta_rows(
+            "metrics",
+            round_no,
+            pa.table(
+                {
+                    "round": pa.array([round_no] * len(items), pa.int32()),
+                    "counter": pa.array([k for k, _ in items], pa.string()),
+                    "value": pa.array([int(v) for _, v in items], pa.int64()),
+                }
+            ),
+        )
 
     # -- loop -------------------------------------------------------------------
     def run(

@@ -82,6 +82,57 @@ def extract_links(spans: Column, base_url: Column) -> Column:
     return F.array_distinct(http_only)
 
 
+def with_base_parts(df, url_col: str = "url"):
+    """Layer the base-URL pieces (scheme/origin/base-dir) as columns so the
+    per-link resolution lambda references cheap attributes instead of
+    re-running three regexes per array ELEMENT (urlkit.py layered-kernel
+    rationale: `transform` lambdas duplicate outer expressions per element)."""
+    df = df.withColumn(
+        "_b_scheme", F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    )
+    df = df.withColumn(
+        "_b_origin", F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+)", 1)
+    )
+    df = df.withColumn(
+        "_b_path",
+        F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)", 1),
+    )
+    return df.withColumn(
+        "_b_dir",
+        F.when(F.col("_b_path") == "", F.lit("/")).otherwise(
+            F.regexp_replace(F.col("_b_path"), r"[^/]*$", "")
+        ),
+    )
+
+
+BASE_PART_COLS = ("_b_scheme", "_b_origin", "_b_path", "_b_dir")
+
+
+def extract_links_with_base(spans: Column) -> Column:
+    """extract_links over a DataFrame prepared by :func:`with_base_parts` —
+    identical output, ~6× fewer regex evaluations per link."""
+    scheme, origin, base_dir = F.col("_b_scheme"), F.col("_b_origin"), F.col("_b_dir")
+    per_span = F.transform(
+        spans,
+        lambda s: F.when(
+            s["kind"] == "text",
+            F.regexp_extract_all(s["text"], F.lit(_HREF_RE), F.lit(1)),
+        )
+        .when(s["kind"] == "media", F.array(s["media_ref"]))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    raw = F.flatten(per_span)
+    resolved = F.transform(
+        raw,
+        lambda h: F.when(h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.concat(origin, base_dir, h)),
+    )
+    http_only = F.filter(resolved, lambda u: u.rlike(r"^https?://"))
+    return F.array_distinct(http_only)
+
+
 def order_spans(spans: Column) -> Column:
     """L3: canonical span order = ascending offset (ties keep input order is
     not required — offsets are unique per doc in the corpus; comparator sorts

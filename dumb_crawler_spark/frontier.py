@@ -34,7 +34,15 @@ from pyspark.sql import types as T
 from .config import CrawlConfig
 from .filters import can_attempt, is_http, is_url_allowed, tag_filter_verdict
 from .tagging import priority_for_tags, tag_urls, with_seed_tag
-from .urlkit import canonicalize, host_of, part_of, url_id, url_parts
+from .urlkit import (
+    canonicalize,
+    host_of,
+    part_of,
+    url_id,
+    url_parts,
+    with_canonical_url,
+    with_url_parts,
+)
 
 # Status codes, verbatim from URLStore.java:17-22
 QUEUED, PROCESSING, PROCESSED, FAILED = 0, 1, 2, 3
@@ -68,17 +76,15 @@ def make_candidates(urls: DataFrame, cfg: CrawlConfig, *, seeds: bool = False) -
     ``seeds=True`` prepends the 'seed' extra tag AFTER scoring
     (DumbCrawler.java:292-300) and marks depth 0.
     """
-    canon = canonicalize(F.col("url"))
-    df = urls.select(canon.alias("url"))
-    parts = url_parts(F.col("url"))
-    df = df.withColumn("tags", tag_urls(parts, cfg))
+    df = with_canonical_url(urls.select("url"), "url", "url")
+    df = with_url_parts(df, "url", out="_parts", host_out="host")
+    df = df.withColumn("tags", tag_urls(F.col("_parts"), cfg))
     df = df.withColumn("priority", priority_for_tags(F.col("tags"), cfg))
     if seeds:
         df = df.withColumn("tags", with_seed_tag(F.col("tags")))
     df = df.withColumn("url_id", url_id(F.col("url"), cfg.id_extractor_pattern))
-    df = df.withColumn("host", host_of(F.col("url")))
     df = df.withColumn("part", part_of(F.col("host"), F.col("url_id"), cfg.partitions, cfg.salt))
-    return df
+    return df.drop("_parts").select("url", "tags", "priority", "url_id", "host", "part")
 
 
 def filter_allowed(candidates: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -126,16 +132,28 @@ def merge_new_links(
     Locally: left-anti join + union. Both sides are bucketed by part/url_id,
     so the join is co-partitioned at scale (SPJ).
     """
+    return frontier.unionByName(
+        new_link_rows(frontier.select("url_id"), candidates, round_no, depth, bloom=bloom)
+    )
+
+
+def new_link_rows(
+    seen_ids: DataFrame, candidates: DataFrame, round_no: int, depth: int, bloom=None
+) -> DataFrame:
+    """The not-yet-seen candidate rows in frontier schema (the MERGE's
+    WHEN NOT MATCHED INSERT set). ``seen_ids`` needs only a url_id column —
+    the MoR ins-delta path passes base∪inserts ids (storage.py
+    read_frontier_seen_ids), a column-pruned scan."""
     cands = dedupe_in_batch(candidates.where(is_http(F.col("url"))))
     if bloom is not None:
         # J3-NR: bloom prefilter — definitely-unseen candidates skip the
         # shuffle; only bloom-positives hit the exact anti-join (bloom.py)
         from .bloom import prefiltered_new_rows
 
-        new_src = prefiltered_new_rows(cands, frontier, bloom)
+        new_src = prefiltered_new_rows(cands, seen_ids, bloom)
     else:
-        new_src = cands.join(frontier.select("url_id"), "url_id", "left_anti")
-    new_rows = new_src.select(
+        new_src = cands.join(seen_ids.select("url_id"), "url_id", "left_anti")
+    return new_src.select(
         "url_id",
         "url",
         "host",
@@ -150,7 +168,6 @@ def merge_new_links(
         F.lit(None).cast("string").alias("error"),
         "part",
     )
-    return frontier.unionByName(new_rows)
 
 
 def dequeue(
@@ -170,6 +187,21 @@ def dequeue(
     is then globally ordered by the same rule. Without a budget and with k
     set, this is exactly the reference's global top-K.
     """
+    return topk_from_eligible(eligible_capped(frontier, cfg, host_budgets), k)
+
+
+DEQUEUE_COLS = ["url_id", "url", "host", "tags", "priority", "attempt", "depth", "part"]
+
+
+def eligible_capped(
+    frontier: DataFrame, cfg: CrawlConfig, host_budgets: DataFrame | None = None
+) -> DataFrame:
+    """Stage 1 of A1: QUEUED ∧ attempt<max ∧ per-host politeness cap, column-
+    pruned to the dequeue columns. The crawler materializes THIS into the
+    executor cache once per round (the hot working set — at 10^10 rows ×
+    ~300 B that is ~3 GB/executor on 1000 executors), so the top-K histogram
+    passes and the dequeue itself never re-scan the frontier or rebuild the
+    queued-view broadcast."""
     eligible = frontier.where(
         (F.col("status") == QUEUED) & can_attempt(F.col("attempt"), cfg)
     )
@@ -182,31 +214,55 @@ def dequeue(
         cap = F.coalesce(F.col("host_budget"), F.lit(budget if budget is not None else 2**31 - 1))
         if budget is not None:
             cap = F.least(cap, F.lit(budget))
-        w = Window.partitionBy("host").orderBy(
-            F.desc("priority"), F.asc("attempt"), F.asc("url_id")
-        )
-        eligible = (
-            eligible.withColumn("_hr", F.row_number().over(w))
-            .where(F.col("_hr") <= cap)
-            .drop("_hr", "host_budget")
-        )
+        eligible = _cap_per_host(eligible, cap).drop("host_budget")
     elif budget is not None:
-        w = Window.partitionBy("host").orderBy(
-            F.desc("priority"), F.asc("attempt"), F.asc("url_id")
-        )
-        eligible = (
-            eligible.withColumn("_hr", F.row_number().over(w))
-            .where(F.col("_hr") <= budget)
-            .drop("_hr")
-        )
-    cols = ["url_id", "url", "host", "tags", "priority", "attempt", "depth", "part"]
+        eligible = _cap_per_host(eligible, F.lit(budget))
+    return eligible.select(*DEQUEUE_COLS)
+
+
+def topk_from_eligible(eligible: DataFrame, k: int | None) -> DataFrame:
+    """Stage 2 of A1: exact global top-K in D2 order over the capped set."""
     if k is None:
-        return eligible.select(*cols)
+        return eligible.select(*DEQUEUE_COLS)
     if k <= _TOPK_THRESHOLD_CUTOFF:
         # TakeOrderedAndProject: per-partition heap top-k, k-row driver merge
         out = eligible.orderBy(F.desc("priority"), F.asc("attempt"), F.asc("url_id"))
-        return out.limit(k).select(*cols)
-    return _dequeue_threshold(eligible, k).select(*cols)
+        return out.limit(k).select(*DEQUEUE_COLS)
+    return _dequeue_threshold(eligible, k).select(*DEQUEUE_COLS)
+
+
+def _cap_per_host(eligible: DataFrame, cap: Column) -> DataFrame:
+    """Politeness budget: top-``cap`` rows per host in D2 order.
+
+    Naive form is a row_number window PARTITION BY host — a full-row shuffle
+    + sort of every eligible row every round. But almost every host is UNDER
+    its budget (the budget exists to throttle the few hot hosts), so: count
+    rows per host (map-side partial agg, tiny byte volume), broadcast the
+    over-budget host list, pass under-budget hosts wholesale (scan-only,
+    zero shuffle of their rows), and run the ranking window ONLY on the
+    over-budget subset. Skew-defusing for the window itself comes free: the
+    subset is exactly the skewed hosts, already isolated. ``cap`` must be an
+    expression over columns available on ``eligible`` (or a literal).
+    NULL hosts (can't occur for F1-filtered http URLs) pass uncapped — null
+    join keys never match the over-host list."""
+    per_host = eligible.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    over_hosts = F.broadcast(
+        eligible.select("host", cap.alias("_cap")).distinct()
+        .join(per_host, "host")
+        .where(F.col("_n") > F.col("_cap"))
+        .select("host")
+    )
+    under = eligible.join(over_hosts, "host", "left_anti")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("attempt"), F.asc("url_id")
+    )
+    over = (
+        eligible.join(over_hosts, "host", "left_semi")
+        .withColumn("_hr", F.row_number().over(w))
+        .where(F.col("_hr") <= cap)
+        .drop("_hr")
+    )
+    return under.unionByName(over)
 
 
 # Above this k, TakeOrderedAndProject's single-task merge of
@@ -283,6 +339,40 @@ def _topoff_by_url_id(cls: DataFrame, r: int, prefix_len: int = 3) -> DataFrame:
     return out
 
 
+def dequeue_order_index(dq: DataFrame, round_no: int, prefix_len: int = 2) -> DataFrame:
+    """(round, seq, url_id) lineage rows: seq = contiguous 0-based global
+    rank of the dequeued batch in D2 order (priority DESC, attempt ASC,
+    url_id ASC) — golden-comparable against the oracle's enumerate().
+
+    Distributed contiguous ranking without a global sort, a single-partition
+    window, or an RDD zipWithIndex (which round-trips every row through
+    Python): bucket rows by (priority, attempt, url_id-prefix) — prefix
+    truncation preserves lexicographic order, so concatenating buckets in
+    D2-bucket order IS the global order. One tiny groupBy().count() collect
+    yields each bucket's global offset; a per-bucket row_number window
+    (parallel across buckets, k-row shuffle at most) finishes the rank.
+    All JVM/codegen — zero Python in the loop."""
+    pre = F.substring("url_id", 1, prefix_len)
+    b = dq.select("priority", "attempt", pre.alias("_pre"), "url_id")
+    counts = b.groupBy("priority", "attempt", "_pre").count().collect()
+    counts.sort(key=lambda r: (-r["priority"], r["attempt"], r["_pre"]))
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["priority"], r["attempt"], r["_pre"], acc))
+        acc += r["count"]
+    odf = F.broadcast(
+        b.sparkSession.createDataFrame(
+            offsets, "priority int, attempt int, _pre string, _off long"
+        )
+    )
+    w = Window.partitionBy("priority", "attempt", "_pre").orderBy("url_id")
+    return (
+        b.join(odf, ["priority", "attempt", "_pre"])
+        .withColumn("seq", F.col("_off") + F.row_number().over(w) - 1)
+        .select(F.lit(round_no).alias("round"), "seq", "url_id")
+    )
+
+
 def retag_dequeued(dequeued: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """T4: re-tag + re-filter at dequeue (DumbCrawler.java:276-279) — stored
     tags may be stale vs current config. Fresh tags REPLACE stored ones (so a
@@ -291,8 +381,8 @@ def retag_dequeued(dequeued: DataFrame, cfg: CrawlConfig) -> DataFrame:
     flag; caller diverts disallowed rows (they stay PROCESSING — the reference
     leaks them the same way: filtered tasks were already marked taken and are
     never completed, DumbCrawler.java:275-279 + URLStore.java:191-206)."""
-    parts = url_parts(F.col("url"))
-    fresh = dequeued.withColumn("tags", tag_urls(parts, cfg))
+    fresh = with_url_parts(dequeued, "url", out="_parts")
+    fresh = fresh.withColumn("tags", tag_urls(F.col("_parts"), cfg)).drop("_parts")
     return fresh.withColumn("_allowed", is_url_allowed(F.col("url"), F.col("tags"), cfg))
 
 
@@ -396,6 +486,108 @@ def apply_round_updates(
         .withColumn("completed_round", F.when(done, F.lit(round_no)).otherwise(F.col("completed_round")))
         .drop("_ns", "_nt", "_ne", "_done")
     )
+
+
+# -- merge-on-read round deltas (Iceberg MoR analog; SURVEY.md §4 "Iceberg
+# MERGE churn" risk) -----------------------------------------------------------
+#
+# Rewriting the whole frontier every round is O(frontier) work per round —
+# catastrophic at 10^10 rows. Instead a round persists only its k-bounded
+# deltas and reads compose them:
+#
+#   frontier(R) = (base snapshot ∪ ins-deltas(s..R])  ⟕  upd-deltas(s..R]
+#
+# The upd side stays broadcast-sized because status transitions are
+# TERMINAL (QUEUED→{PROCESSING-leak, PROCESSED, FAILED}; SURVEY.md §2.8-C3):
+# each url_id appears in AT MOST ONE upd delta per base epoch, so composition
+# is a plain union + one broadcast join — no per-read aggregation, no
+# last-wins window. Periodic compaction (Crawler.compact_every) rewrites the
+# reconciled snapshot and resets the delta window.
+
+UPDATE_SCHEMA = T.StructType([
+    T.StructField("url_id", T.StringType(), False),
+    T.StructField("status", T.ByteType(), False),
+    T.StructField("tags", T.ArrayType(T.StringType()), True),
+    T.StructField("error", T.StringType(), True),
+    T.StructField("done", T.BooleanType(), False),
+    T.StructField("round", T.IntegerType(), False),
+])
+
+
+def round_update_delta(dequeued: DataFrame, results: DataFrame, round_no: int) -> DataFrame:
+    """The k-bounded status-transition delta of one round (C3 + the
+    taken-mark, URLStore.java:159-206): every dequeued row appears exactly
+    once — PROCESSING if it was filtered before fetch (the reference's leak),
+    else PROCESSED/FAILED with fresh tags + error."""
+    return (
+        dequeued.select("url_id")
+        .join(
+            results.select(
+                "url_id", F.col("tags").alias("_nt"), "ok", F.col("error").alias("_ne")
+            ),
+            "url_id",
+            "left",
+        )
+        .select(
+            "url_id",
+            F.when(F.col("ok").isNull(), F.lit(PROCESSING))
+            .when(F.col("ok"), F.lit(PROCESSED))
+            .otherwise(F.lit(FAILED))
+            .cast("tinyint")
+            .alias("status"),
+            F.col("_nt").alias("tags"),
+            F.col("_ne").alias("error"),
+            F.col("ok").isNotNull().alias("done"),
+            F.lit(round_no).alias("round"),
+        )
+    )
+
+
+def compose_frontier(base: DataFrame, inserts: DataFrame | None, upds: DataFrame | None) -> DataFrame:
+    """Reconcile base ∪ inserts with the update deltas (exact equivalent of
+    the old full-rewrite apply_round_updates path; equivalence pinned by the
+    golden tests). The upd side is k×rounds rows — broadcast."""
+    full = base if inserts is None else base.unionByName(inserts)
+    if upds is None:
+        return full
+    u = F.broadcast(
+        upds.select(
+            "url_id",
+            F.col("status").alias("_us"),
+            F.col("tags").alias("_ut"),
+            F.col("error").alias("_ue"),
+            F.col("done").alias("_ud"),
+            F.col("round").alias("_ur"),
+        )
+    )
+    j = full.join(u, "url_id", "left")
+    touched = F.col("_us").isNotNull()
+    done = F.coalesce(F.col("_ud"), F.lit(False))
+    return (
+        j.withColumn("status", F.coalesce(F.col("_us"), F.col("status")))
+        .withColumn("taken_round", F.when(touched, F.col("_ur")).otherwise(F.col("taken_round")))
+        .withColumn("tags", F.when(done, F.col("_ut")).otherwise(F.col("tags")))
+        .withColumn("error", F.when(done, F.col("_ue")).otherwise(F.col("error")))
+        .withColumn("attempt", F.when(done, F.col("attempt") + 1).otherwise(F.col("attempt")))
+        .withColumn("completed_round", F.when(done, F.col("_ur")).otherwise(F.col("completed_round")))
+        .drop("_us", "_ut", "_ue", "_ud", "_ur")
+    )
+
+
+def queued_view(base: DataFrame, inserts: DataFrame | None, upds: DataFrame | None) -> DataFrame:
+    """The dequeue-eligible frontier WITHOUT column reconciliation.
+
+    Because updates are terminal, status==QUEUED ⟺ (base-or-ins row is
+    QUEUED) ∧ (url_id has no update). The status filter therefore pushes
+    down to the parquet scan (PushedFilters: EqualTo(status,0) — pinned by
+    test), and the update side degrades to a broadcast anti-join on ids.
+    Columns (attempt, tags, priority…) are exact for QUEUED rows: only done
+    rows ever mutate them."""
+    full = base if inserts is None else base.unionByName(inserts)
+    q = full.where(F.col("status") == QUEUED)
+    if upds is None:
+        return q
+    return q.join(F.broadcast(upds.select("url_id")), "url_id", "left_anti")
 
 
 def status_counts(frontier: DataFrame) -> DataFrame:

@@ -50,7 +50,7 @@ def filter_robots_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame
     """Drop candidates whose path starts with a disallowed prefix for their
     host. Hosts absent from robots are fully allowed. Broadcast join —
     candidates never shuffle."""
-    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    path = F.try_parse_url(F.col("url"), F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
     joined = candidates.join(
         F.broadcast(robots.select("host", "disallow")), "host", "left"

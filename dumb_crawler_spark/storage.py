@@ -66,6 +66,25 @@ class Warehouse:
     def append_delta(self, table: str, round_no: int, df: DataFrame) -> None:
         self._atomic_write(df, self.root / table / f"delta-{round_no:08d}")
 
+    def append_delta_rows(self, table: str, round_no: int, arrow_table) -> None:
+        """Driver-side parquet write for TINY deltas (a few counter rows per
+        round): a Spark job just to persist 20 rows costs ~seconds of plan +
+        schedule per round; pyarrow writes the same file in microseconds.
+        Readers can't tell the difference."""
+        import pyarrow.parquet as pq
+
+        dest = self.root / table / f"delta-{round_no:08d}"
+        tmp = dest.parent / f".tmp-{uuid.uuid4().hex}"
+        tmp.mkdir(parents=True)
+        pq.write_table(arrow_table, tmp / "part-00000.parquet")
+        if dest.exists():
+            shutil.rmtree(dest)
+        tmp.rename(dest)
+
+    def read_delta(self, table: str, round_no: int) -> DataFrame:
+        """One round's delta dir (e.g. the per-round `fetch` artifact)."""
+        return self.spark.read.parquet(str(self.root / table / f"delta-{round_no:08d}"))
+
     def read_deltas(self, table: str, upto_round: int | None = None) -> DataFrame | None:
         """Union of committed delta dirs (≤ upto_round if given); None if empty.
         Parquet dir-level listing keeps this a metadata operation; column
@@ -123,9 +142,69 @@ class Warehouse:
     def is_terminated(self) -> bool:
         return (self.root / "_TERMINATED.json").exists()
 
+    # -- frontier merge-on-read (frontier.py compose/queued docs) ---------------
+    def _frontier_pieces(self, round_no: int):
+        """(base snapshot DF, inserts DF|None, updates DF|None) as of round_no:
+        the latest snap ≤ round_no plus the ins-/upd- delta dirs in
+        (snap_round, round_no]. Dir listing only — no data read."""
+        tdir = self.root / "frontier"
+        snaps = sorted(
+            int(d.name.split("-")[1])
+            for d in tdir.glob("snap-*")
+            if int(d.name.split("-")[1]) <= round_no
+        )
+        if not snaps:
+            raise FileNotFoundError(f"no frontier snapshot ≤ round {round_no}")
+        s = snaps[-1]
+        base = self.read_snapshot("frontier", s)
+
+        def deltas(prefix: str) -> DataFrame | None:
+            dirs = sorted(
+                str(d) for d in tdir.glob(f"{prefix}-*")
+                if s < int(d.name.split("-")[1]) <= round_no
+            )
+            return self.spark.read.parquet(*dirs) if dirs else None
+
+        return base, deltas("ins"), deltas("upd")
+
+    def write_frontier_updates(self, round_no: int, df: DataFrame) -> None:
+        self._atomic_write(df, self.root / "frontier" / f"upd-{round_no:08d}")
+
+    def write_frontier_inserts(self, round_no: int, df: DataFrame) -> None:
+        self._atomic_write(df, self.root / "frontier" / f"ins-{round_no:08d}")
+
+    def read_frontier_inserts(self, round_no: int) -> DataFrame:
+        return self.spark.read.parquet(str(self.root / "frontier" / f"ins-{round_no:08d}"))
+
+    def frontier_delta_rows(self, round_no: int) -> int:
+        """Parquet-footer row count of the delta window (compaction trigger);
+        metadata-only."""
+        _, ins, upd = self._frontier_pieces(round_no)
+        return sum(df.count() for df in (ins, upd) if df is not None)
+
     # -- convenience -----------------------------------------------------------
     def read_frontier(self, round_no: int | None = None) -> DataFrame:
+        """Reconciled frontier state as of round_no (MoR compose)."""
+        from . import frontier as FR
+
         rnd = self.last_committed_round() if round_no is None else round_no
         if rnd is None:
             raise FileNotFoundError("no committed frontier snapshot")
-        return self.read_snapshot("frontier", rnd)
+        return FR.compose_frontier(*self._frontier_pieces(rnd))
+
+    def read_frontier_queued(self, round_no: int | None = None) -> DataFrame:
+        """Dequeue-eligible rows only — pushdown-friendly (frontier.queued_view)."""
+        from . import frontier as FR
+
+        rnd = self.last_committed_round() if round_no is None else round_no
+        if rnd is None:
+            raise FileNotFoundError("no committed frontier snapshot")
+        return FR.queued_view(*self._frontier_pieces(rnd))
+
+    def read_frontier_seen_ids(self, round_no: int) -> DataFrame:
+        """The exact URL-seen set (J3 probe side): url_id column of
+        base ∪ inserts — column-pruned scans, no update join needed (updates
+        never add ids)."""
+        base, ins, _ = self._frontier_pieces(round_no)
+        ids = base.select("url_id", "part")
+        return ids if ins is None else ids.unionByName(ins.select("url_id", "part"))

@@ -81,7 +81,7 @@ def url_parts(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     ok = scheme.isin("http", "https")
     protocol = F.when(ok, scheme)
-    authority = F.when(ok, F.parse_url(url, F.lit("AUTHORITY")))
+    authority = F.when(ok, F.try_parse_url(url, F.lit("AUTHORITY")))
     host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]+)", 1))
     host = F.when(ok & (host != ""), host)
     explicit_port = F.regexp_extract(authority, r":(\d+)$", 1)
@@ -90,10 +90,10 @@ def url_parts(url: Column) -> Column:
             F.when(scheme == "https", F.lit(443)).otherwise(F.lit(80))
         )
     )
-    raw_path = F.parse_url(url, F.lit("PATH"))
+    raw_path = F.try_parse_url(url, F.lit("PATH"))
     path = F.when(ok, F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")).otherwise(raw_path))
-    query = F.when(ok, F.parse_url(url, F.lit("QUERY")))
-    fragment = F.when(ok, F.parse_url(url, F.lit("REF")))
+    query = F.when(ok, F.try_parse_url(url, F.lit("QUERY")))
+    fragment = F.when(ok, F.try_parse_url(url, F.lit("REF")))
     return F.struct(
         url.alias("url"),
         protocol.alias("protocol"),
@@ -117,7 +117,7 @@ def canonicalize(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     ok = scheme.isin("http", "https")
     no_frag = F.regexp_replace(u, r"#.*$", "")
-    authority = F.parse_url(no_frag, F.lit("AUTHORITY"))
+    authority = F.try_parse_url(no_frag, F.lit("AUTHORITY"))
     userinfo = F.regexp_extract(authority, r"^([^@]*@)", 1)
     host = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]+)", 1))
     explicit_port = F.regexp_extract(authority, r":(\d+)$", 1)
@@ -125,15 +125,115 @@ def canonicalize(url: Column) -> Column:
     port_part = F.when(
         (explicit_port == "") | (explicit_port == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), explicit_port))
-    raw_path = F.parse_url(no_frag, F.lit("PATH"))
+    raw_path = F.try_parse_url(no_frag, F.lit("PATH"))
     path = F.when(raw_path.isNull() | (raw_path == ""), F.lit("/")).otherwise(raw_path)
-    query = F.parse_url(no_frag, F.lit("QUERY"))
+    query = F.try_parse_url(no_frag, F.lit("QUERY"))
     sorted_query = F.array_join(F.array_sort(F.split(query, "&")), "&")
     query_part = F.when(query.isNull() | (query == ""), F.lit("")).otherwise(
         F.concat(F.lit("?"), sorted_query)
     )
     canon = F.concat(scheme, F.lit("://"), userinfo, host, port_part, path, query_part)
     return F.when(ok & (host != ""), canon).otherwise(u)
+
+
+# -- layered kernel (the hot path) -------------------------------------------
+#
+# The Column-expression forms above are convenient and exact, but COMPOSING
+# them (canonicalize → url_parts → tags) builds one giant expression tree in
+# which every `when`/`nullif` duplicates its heavyweight argument
+# (parse_url, regexp_extract) — multiplicatively. Measured: ~100-200 core-µs
+# per URL, and the generated code can outgrow HotSpot's JIT method limit
+# (→ interpreted execution, another ~10×). The DataFrame-level forms below
+# evaluate each heavy sub-expression EXACTLY ONCE per row by aliasing it as
+# an intermediate column: Catalyst's CollapseProject never inlines a
+# non-cheap alias that is referenced more than once, so the layering
+# survives optimization. Same semantics (pinned by tests), ~10× cheaper.
+
+
+def with_canonical_url(df, url_col: str = "url", out: str = "url"):
+    """U9 as a DataFrame transform — identical results to
+    ``canonicalize(col)``, with each parse/regex evaluated once per row."""
+    df = df.withColumn("_u", F.trim(F.col(url_col)))
+    df = df.withColumn("_scheme", F.lower(F.regexp_extract(F.col("_u"), _SCHEME_RE, 1)))
+    df = df.withColumn("_nofrag", F.regexp_replace(F.col("_u"), r"#.*$", ""))
+    df = (
+        df.withColumn("_auth", F.try_parse_url(F.col("_nofrag"), F.lit("AUTHORITY")))
+        .withColumn("_rawpath", F.try_parse_url(F.col("_nofrag"), F.lit("PATH")))
+        .withColumn("_q", F.try_parse_url(F.col("_nofrag"), F.lit("QUERY")))
+    )
+    df = (
+        df.withColumn("_host", F.lower(F.regexp_extract(F.col("_auth"), r"^(?:[^@]*@)?([^:]+)", 1)))
+        .withColumn("_eport", F.regexp_extract(F.col("_auth"), r":(\d+)$", 1))
+        .withColumn("_userinfo", F.regexp_extract(F.col("_auth"), r"^([^@]*@)", 1))
+    )
+    default_port = F.when(F.col("_scheme") == "https", F.lit("443")).otherwise(F.lit("80"))
+    port_part = F.when(
+        (F.col("_eport") == "") | (F.col("_eport") == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), F.col("_eport")))
+    path = F.when(
+        F.col("_rawpath").isNull() | (F.col("_rawpath") == ""), F.lit("/")
+    ).otherwise(F.col("_rawpath"))
+    sorted_query = F.array_join(F.array_sort(F.split(F.col("_q"), "&")), "&")
+    query_part = F.when(F.col("_q").isNull() | (F.col("_q") == ""), F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_query)
+    )
+    ok = F.col("_scheme").isin("http", "https") & (F.col("_host") != "")
+    canon = F.concat(
+        F.col("_scheme"), F.lit("://"), F.col("_userinfo"), F.col("_host"),
+        port_part, path, query_part,
+    )
+    df = df.withColumn("_canon_out", F.when(ok, canon).otherwise(F.col("_u")))
+    df = df.drop("_u", "_scheme", "_nofrag", "_auth", "_rawpath", "_q", "_host", "_eport", "_userinfo")
+    if out in df.columns:
+        df = df.drop(out)
+    return df.withColumnRenamed("_canon_out", out)
+
+
+def with_url_parts(df, url_col: str = "url", out: str = "parts", host_out: str | None = None):
+    """U1 as a DataFrame transform — identical struct to ``url_parts(col)``,
+    each parse/regex evaluated once per row. ``host_out`` optionally exports
+    the any-scheme host (the ``host_of`` semantics used for the frontier
+    host column — non-null even for non-http schemes)."""
+    df = df.withColumn("_p_scheme", F.lower(F.regexp_extract(F.col(url_col), _SCHEME_RE, 1)))
+    df = (
+        df.withColumn("_p_auth", F.try_parse_url(F.col(url_col), F.lit("AUTHORITY")))
+        .withColumn("_p_rawpath", F.try_parse_url(F.col(url_col), F.lit("PATH")))
+        .withColumn("_p_query", F.try_parse_url(F.col(url_col), F.lit("QUERY")))
+        .withColumn("_p_frag", F.try_parse_url(F.col(url_col), F.lit("REF")))
+    )
+    df = (
+        df.withColumn("_p_host", F.lower(F.regexp_extract(F.col("_p_auth"), r"^(?:[^@]*@)?([^:]+)", 1)))
+        .withColumn("_p_eport", F.regexp_extract(F.col("_p_auth"), r":(\d+)$", 1))
+    )
+    ok = F.col("_p_scheme").isin("http", "https")
+    port = F.when(~ok, F.lit(None).cast("int")).otherwise(
+        F.when(F.col("_p_eport") != "", F.col("_p_eport").cast("int")).otherwise(
+            F.when(F.col("_p_scheme") == "https", F.lit(443)).otherwise(F.lit(80))
+        )
+    )
+    path = F.when(
+        ok,
+        F.when(
+            F.col("_p_rawpath").isNull() | (F.col("_p_rawpath") == ""), F.lit("/")
+        ).otherwise(F.col("_p_rawpath")),
+    )
+    df = df.withColumn(
+        out,
+        F.struct(
+            F.col(url_col).alias("url"),
+            F.when(ok, F.col("_p_scheme")).alias("protocol"),
+            F.when(ok & (F.col("_p_host") != ""), F.col("_p_host")).alias("host"),
+            path.alias("path"),
+            port.alias("port"),
+            F.when(ok, F.col("_p_query")).alias("query"),
+            F.when(ok, F.col("_p_frag")).alias("fragment"),
+        ),
+    )
+    if host_out is not None:
+        df = df.withColumn(
+            host_out, F.when(F.col("_p_host") == "", F.lit(None)).otherwise(F.col("_p_host"))
+        )
+    return df.drop("_p_scheme", "_p_auth", "_p_rawpath", "_p_query", "_p_frag", "_p_host", "_p_eport")
 
 
 def url_id(url: Column, id_extractor_pattern: str | None = None) -> Column:
@@ -153,7 +253,7 @@ def url_id(url: Column, id_extractor_pattern: str | None = None) -> Column:
 
 def host_of(url: Column) -> Column:
     """Lowercased host (politeness/partition key)."""
-    authority = F.parse_url(F.trim(url), F.lit("AUTHORITY"))
+    authority = F.try_parse_url(F.trim(url), F.lit("AUTHORITY"))
     h = F.lower(F.regexp_extract(authority, r"^(?:[^@]*@)?([^:]+)", 1))
     return F.when(h == "", F.lit(None)).otherwise(h)
 

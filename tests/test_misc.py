@@ -76,12 +76,14 @@ def test_refetch_resets_status(spark, tmp_path):  # C4 (URLStore.java:60-68)
 
 def test_dequeue_scan_pushdown(spark, tmp_path):
     """Catalyst must push the status/attempt filters into the parquet scan of
-    the frontier snapshot (SURVEY.md §4: predicate pushdown row)."""
+    the frontier base/ins files (SURVEY.md §4: predicate pushdown row) —
+    this is exactly why the dequeue path uses the anti-join queued_view
+    rather than the coalesce-reconciled compose (which would block pushdown)."""
     docs, _ = generate_web(n_articles=12, seed=2)
     cfg = canonical_config()
     c = Crawler(spark, cfg, docs_to_spark(spark, docs), tmp_path / "wh")
     c.run(max_rounds=1)
-    fr = c.wh.read_frontier()
+    fr = c.wh.read_frontier_queued()
     plan = FR.dequeue(fr, cfg, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "EqualTo(status,0)" in plan or "IsNotNull(status)" in plan, plan[:2000]
