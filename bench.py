@@ -27,9 +27,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "200000"))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "3"))
-K_PER_ROUND = int(os.environ.get("BENCH_K", "25000"))
+FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "2000000"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+K_PER_ROUND = int(os.environ.get("BENCH_K", "200000"))
+# ~32 B of prose per repeat unit; 64 ≈ 2 KB text spans (page-byte-streaming
+# heavy — exercises the DRAM-bound fetch path), small values emphasize the
+# frontier machinery itself (the north-rule metric). Both get reported in
+# BENCH.md.
+PAGE_REPEAT = int(os.environ.get("BENCH_PAGE_REPEAT", "64"))
 
 
 def _force(df) -> None:
@@ -71,7 +76,7 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     url = F.concat(F.lit("http://"), host, F.lit("/doc/"), i.cast("string"))
     link = lambda e: F.concat(F.lit('<a href="http://'), host, F.lit("/doc/"), e.cast("string"), F.lit('">'))
     # realistic page weight: ~2 KB of prose per text span, 6 links per page
-    filler = F.repeat(F.concat(F.lit("lorem ipsum content block "), i.cast("string"), F.lit(" ")), 64)
+    filler = F.repeat(F.concat(F.lit("lorem ipsum content block "), i.cast("string"), F.lit(" ")), PAGE_REPEAT)
     t1 = F.concat(
         F.lit("body article-body "), filler,
         link((i * 7 + 1) % n), F.lit(" "), link((i * 13 + 2) % n), F.lit(" "), link((i * 3 + 5) % n),
@@ -124,6 +129,7 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     processed = sum(s.dequeued for s in stats)
     return {
         "frontier_n": FRONTIER_N,
+        "page_repeat": PAGE_REPEAT,
         "rounds": ROUNDS,
         "urls_processed": processed,
         "seconds": round(elapsed, 2),
@@ -169,7 +175,11 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     crawl_only = os.environ.get("BENCH_CRAWL_ONLY") == "1"
-    with tempfile.TemporaryDirectory(prefix="dcs-bench-") as tmpdir:
+    # scratch on tmpfs when available: the sandbox's virtio disk has ~2×
+    # run-to-run write-throughput variance that would swamp the measurement
+    # (a cluster's local NVMe does not); BENCH_TMPDIR overrides
+    scratch = os.environ.get("BENCH_TMPDIR") or ("/dev/shm" if os.path.isdir("/dev/shm") else None)
+    with tempfile.TemporaryDirectory(prefix="dcs-bench-", dir=scratch) as tmpdir:
         t0 = time.time()
         crawl = bench_crawl_rounds(spark, tmpdir)
         timings["crawl_rounds"] = round(time.time() - t0, 2)

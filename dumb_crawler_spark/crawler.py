@@ -23,7 +23,9 @@ variable; rounds replace wall-clock per SURVEY.md D3).
 
 from __future__ import annotations
 
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from contextlib import contextmanager
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -64,6 +66,7 @@ class Crawler:
         use_bloom: bool = False,
         round_interval_ms: int = 60_000,
         compact_every: int = 16,
+        concurrent_sinks: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -73,6 +76,12 @@ class Crawler:
         self.robots = robots if cfg.politeness.respect_robots else None
         self.use_bloom = use_bloom
         self.compact_every = compact_every  # MoR delta-window bound (frontier.py)
+        # On a real cluster concurrent chain submission overlaps stage
+        # latencies (each sink chain's stages interleave on idle executors).
+        # In local[N] the driver IS the executor — measured: concurrent
+        # chains contend on the same cores + single DAGScheduler event loop
+        # for zero net win — so the sandbox default is sequential.
+        self.concurrent_sinks = concurrent_sinks
         self._fr_count = 0  # remembered frontier size (avoids before/after double counts)
         self.phase_times: dict[str, float] = {}  # accumulated per-phase secs (perf triage)
         self._bloom = None
@@ -87,9 +96,15 @@ class Crawler:
     @contextmanager
     def _phase(self, name: str):
         t0 = time.time()
+        main = threading.current_thread() is threading.main_thread()
+        if main:  # job-description local properties are per-JVM-thread;
+            # only the main thread's py4j connection is stable enough to tag
+            self.spark.sparkContext.setJobDescription(f"phase:{name}")
         try:
             yield
         finally:
+            if main:
+                self.spark.sparkContext.setJobDescription(None)
             self.phase_times[name] = self.phase_times.get(name, 0.0) + (time.time() - t0)
 
     def _write_frontier(self, round_no: int, fr) -> None:
@@ -142,11 +157,14 @@ class Crawler:
         # it, so the frontier is scanned (and the queued-view broadcast
         # built) exactly once per round.
         k = cfg.thread_count * 2
-        eligible = FR.eligible_capped(frq, cfg, host_budgets=self._host_budgets).cache()
-        with self._phase("eligible_cache"):
-            eligible.count()
+        eligible = FR.eligible_raw(frq, cfg).cache()
+        with self._phase("host_cap"):
+            # first action on `eligible` — materializes the cache AND probes
+            # for over-budget hosts in the same job
+            over = FR.over_budget_hosts(eligible, cfg, self._host_budgets)
+        capped = FR.apply_host_cap(eligible, cfg, over, self._host_budgets)
         with self._phase("dequeue_plan"):
-            dq = FR.topk_from_eligible(eligible, k).cache()
+            dq = FR.topk_from_eligible(capped, k).cache()
 
         # T4 re-tag + re-filter; disallowed rows leak as PROCESSING (reference
         # marks taken before filtering, URLStore.java:191-206 + DumbCrawler.java:275-279).
@@ -184,136 +202,176 @@ class Crawler:
         fetched = self.wh.read_delta("fetch", round_no)
         ok_rows = fetched.where(F.col("ok"))
 
-        # link-ingest (§3.2): explode → canonicalize/tag/score → F2 counters → merge
-        exploded = ok_rows.select(F.explode_outer("links").alias("url")).where(F.col("url").isNotNull())
-        link_cands = FR.make_candidates(exploded, cfg).cache()
-        with self._phase("fetch_extract"):
-            lc = (
-                link_cands.withColumn("_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg))
-                .groupBy("_ok").agg(F.count("*").alias("n")).collect()
+        # ---- independent chains over the immutable fetch artifact run
+        # CONCURRENTLY. The reference overlaps fetch workers with the store
+        # thread (DumbCrawler.java:183-193); the batch analog is concurrent
+        # job submission — Spark's scheduler interleaves their stages across
+        # the executor cores, so round wall time approaches max(chain)
+        # instead of sum(chain). Each chain returns its counter increments;
+        # the main thread merges them (RoundStats is not touched off-thread).
+
+        def links_chain() -> dict[str, int]:
+            # link-ingest (§3.2): explode → canonicalize/tag/score → F2
+            # counters → J3 anti-join → ins delta
+            out: dict[str, int] = {}
+            exploded = ok_rows.select(F.explode_outer("links").alias("url")).where(
+                F.col("url").isNotNull()
             )
-        lcm = {r["_ok"]: r["n"] for r in lc}
-        stats.add("ALLOWED_LINKS", lcm.get(True, 0))
-        stats.add("IGNORED_LINKS", lcm.get(False, 0))
-        allowed_cands = FR.filter_allowed(link_cands, cfg)
-        if self.robots is not None:  # J6-NR robots path-prefix gate
-            from .robots import filter_robots_allowed
-
-            n_before = allowed_cands.count()
-            allowed_cands = filter_robots_allowed(allowed_cands, self.robots)
-            stats.add("ROBOTS_BLOCKED_LINKS", n_before - allowed_cands.count())
-
-        # fetch-stage counters — ONE aggregation pass over fetched yields
-        # PROCESSED_URLS, every ERROR_*, MAX_ATTEMPT_COUNT_REACHED and the
-        # F3 store split (A3; URLStore.java:176-180, AbstractStorageManager.java:37-50)
-        with self._phase("fetch_stats"):
-            fstats = (
-                fetched.select(
-                    "error",
-                    (F.col("attempt") + 1 >= cfg.max_attempt_count).alias("maxed"),
-                    (F.col("ok") & should_store(F.col("tags"), cfg)).alias("store"),
-                    (F.col("ok") & (F.col("n_links") == 0)).alias("no_links"),
-                    (F.col("ok") & (F.col("n_links") > 300)).alias("many_links"),
-                    "ok",
+            link_cands = FR.make_candidates(exploded, cfg).cache()
+            with self._phase("links_count"):
+                lc = (
+                    link_cands.withColumn("_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg))
+                    .groupBy("_ok").agg(F.count("*").alias("n")).collect()
                 )
-                .groupBy("error", "maxed", "store", "no_links", "many_links", "ok")
-                .count()
-                .collect()
+            lcm = {r["_ok"]: r["n"] for r in lc}
+            out["ALLOWED_LINKS"] = lcm.get(True, 0)
+            out["IGNORED_LINKS"] = lcm.get(False, 0)
+            allowed_cands = FR.filter_allowed(link_cands, cfg)
+            if self.robots is not None:  # J6-NR robots path-prefix gate
+                from .robots import filter_robots_allowed
+
+                n_before = allowed_cands.count()
+                allowed_cands = filter_robots_allowed(allowed_cands, self.robots)
+                out["ROBOTS_BLOCKED_LINKS"] = n_before - allowed_cands.count()
+
+            seen_ids = self.wh.read_frontier_seen_ids(round_no - 1)
+            bloom = None
+            if self.use_bloom:
+                from .bloom import PartitionedBloom
+
+                if self._bloom is None:
+                    # first build presizes capacity so later increments union
+                    self._bloom_capacity = max(4096, (self._fr_count // cfg.partitions + 1) * 8)
+                    self._bloom = PartitionedBloom.build(
+                        seen_ids, expected_per_part=self._bloom_capacity
+                    )
+                bloom = self._bloom
+            new_rows = FR.new_link_rows(seen_ids, allowed_cands, round_no, depth=round_no, bloom=bloom)
+            with self._phase("ins_write"):
+                self.wh.write_frontier_inserts(round_no, new_rows)
+            with self._phase("ins_count"):
+                inserted_n = self.wh.read_frontier_inserts(round_no).count()
+            out["DISCOVERED_URLS"] = inserted_n
+            if self.use_bloom and inserted_n:
+                # incremental: hash ONLY this round's inserts into the filter
+                from .bloom import PartitionedBloom
+
+                self._bloom = self._bloom.union(
+                    PartitionedBloom.build(
+                        self.wh.read_frontier_inserts(round_no).select("url_id", "part"),
+                        expected_per_part=self._bloom_capacity,
+                    )
+                )
+            link_cands.unpersist()
+            return out
+
+        def fstats_chain() -> dict[str, int]:
+            # ONE aggregation pass yields PROCESSED_URLS, every ERROR_*,
+            # MAX_ATTEMPT_COUNT_REACHED, the F3 store split and A4 warns
+            # (A3; URLStore.java:176-180, AbstractStorageManager.java:37-50,
+            # DumbCrawler.java:108-110); errors sink (S11) rides behind it
+            out: dict[str, int] = {}
+            with self._phase("fetch_stats"):
+                fstats = (
+                    fetched.select(
+                        "error",
+                        (F.col("attempt") + 1 >= cfg.max_attempt_count).alias("maxed"),
+                        (F.col("ok") & should_store(F.col("tags"), cfg)).alias("store"),
+                        (F.col("ok") & (F.col("n_links") == 0)).alias("no_links"),
+                        (F.col("ok") & (F.col("n_links") > 300)).alias("many_links"),
+                        "ok",
+                    )
+                    .groupBy("error", "maxed", "store", "no_links", "many_links", "ok")
+                    .count()
+                    .collect()
+                )
+            n_errors = 0
+            for r in fstats:
+                if r["error"] is None:
+                    out["PROCESSED_URLS"] = out.get("PROCESSED_URLS", 0) + r["count"]
+                else:
+                    out[f"ERROR_{r['error']}"] = out.get(f"ERROR_{r['error']}", 0) + r["count"]
+                    n_errors += r["count"]
+                if r["maxed"]:
+                    out["MAX_ATTEMPT_COUNT_REACHED"] = out.get("MAX_ATTEMPT_COUNT_REACHED", 0) + r["count"]
+                if r["ok"] and not r["store"]:
+                    out["UNSAVED_PAGES"] = out.get("UNSAVED_PAGES", 0) + r["count"]
+                if r["no_links"]:
+                    out["WARN_EMPTY_LINKS"] = out.get("WARN_EMPTY_LINKS", 0) + r["count"]
+                if r["many_links"]:
+                    out["WARN_TOO_MANY_LINKS"] = out.get("WARN_TOO_MANY_LINKS", 0) + r["count"]
+            if n_errors:
+                with self._phase("errors_write"):
+                    self.wh.append_delta(
+                        "errors",
+                        round_no,
+                        fetched.where(~F.col("ok")).select(
+                            "url_id", "url", "error", F.lit(round_no).alias("round"), "spans"
+                        ),
+                    )
+            return out
+
+        def upd_chain() -> dict[str, int]:
+            # C3 as a k-row MoR update delta — the frontier is NEVER
+            # rewritten in-round (frontier.round_update_delta; compaction
+            # bounds the delta window). At 10^10 rows this is O(k) instead
+            # of O(frontier) per-round write cost.
+            results = fetched.select("url_id", "tags", "ok", "error")
+            with self._phase("upd_write"):
+                self.wh.write_frontier_updates(
+                    round_no, FR.round_update_delta(dq, results, round_no)
+                )
+            return {}
+
+        def pages_chain() -> dict[str, int]:
+            # S7/S8 pages sink with F3 gate + J5 new-vs-update
+            storable = ok_rows.withColumn("_store", should_store(F.col("tags"), cfg))
+            saved = storable.where(F.col("_store")).select(
+                "url_id", "url", F.lit(round_no).alias("round"),
+                order_spans(F.col("spans")).alias("spans"),
             )
-        n_errors = 0
-        for r in fstats:
-            if r["error"] is None:
-                stats.add("PROCESSED_URLS", r["count"])
+            pages_so_far = self.wh.read_deltas("pages", upto_round=round_no - 1)
+            if pages_so_far is not None:
+                # J5: left join against existing url_ids — column-pruned scan
+                # of the pages table (url_id only); Iceberg identifier stats /
+                # bloom make this a metadata-cheap probe at scale
+                existing = pages_so_far.select("url_id").distinct().withColumn("_old", F.lit(True))
+                saved = saved.join(existing, "url_id", "left")
             else:
-                stats.add(f"ERROR_{r['error']}", r["count"])
-                n_errors += r["count"]
-            if r["maxed"]:
-                stats.add("MAX_ATTEMPT_COUNT_REACHED", r["count"])
-            if r["ok"] and not r["store"]:
-                stats.add("UNSAVED_PAGES", r["count"])
-            # A4 warn metrics (DumbCrawler.java:108-110, CrawlingTaskCallable.java:54-56)
-            if r["no_links"]:
-                stats.add("WARN_EMPTY_LINKS", r["count"])
-            if r["many_links"]:
-                stats.add("WARN_TOO_MANY_LINKS", r["count"])
+                saved = saved.withColumn("_old", F.lit(None).cast("boolean"))
+            saved = saved.cache()
+            with self._phase("pages_split"):
+                sv = {
+                    r["old"]: r["count"]
+                    for r in saved.groupBy(F.col("_old").isNotNull().alias("old")).count().collect()
+                }
+            new_n, upd_n = sv.get(False, 0), sv.get(True, 0)
+            if new_n + upd_n:
+                with self._phase("pages_write"):
+                    self.wh.append_delta("pages", round_no, saved.drop("_old"))
+            saved.unpersist()
+            return {"NEW_SAVED_PAGES": new_n, "UPDATED_PAGES": upd_n, "SAVED_PAGES": new_n + upd_n}
 
-        # C3 as a k-row MoR update delta — the frontier is NEVER rewritten
-        # in-round (frontier.round_update_delta; compaction below bounds the
-        # delta window). At 10^10 rows this is the difference between O(k)
-        # and O(frontier) per-round write cost.
-        results = fetched.select("url_id", "tags", "ok", "error")
-        with self._phase("upd_write"):
-            self.wh.write_frontier_updates(round_no, FR.round_update_delta(dq, results, round_no))
-
-        seen_ids = self.wh.read_frontier_seen_ids(round_no - 1)
-        bloom = None
-        if self.use_bloom:
-            from .bloom import PartitionedBloom
-
-            if self._bloom is None:
-                # first build presizes capacity so later increments can union
-                self._bloom_capacity = max(4096, (self._fr_count // cfg.partitions + 1) * 8)
-                self._bloom = PartitionedBloom.build(seen_ids, expected_per_part=self._bloom_capacity)
-            bloom = self._bloom
-        new_rows = FR.new_link_rows(seen_ids, allowed_cands, round_no, depth=round_no, bloom=bloom)
-        with self._phase("ins_write"):
-            self.wh.write_frontier_inserts(round_no, new_rows)
-        with self._phase("frontier_count"):
-            inserted_n = self.wh.read_frontier_inserts(round_no).count()
-        stats.add("DISCOVERED_URLS", inserted_n)
-        self._fr_count += inserted_n
-        if self.use_bloom and inserted_n:
-            # incremental: hash ONLY this round's inserts into the filter
-            from .bloom import PartitionedBloom
-
-            self._bloom = self._bloom.union(
-                PartitionedBloom.build(
-                    self.wh.read_frontier_inserts(round_no).select("url_id", "part"),
-                    expected_per_part=self._bloom_capacity,
+        def dq_order_chain() -> dict[str, int]:
+            # dequeue-order lineage (golden-comparable): distributed
+            # contiguous D2 rank, all-JVM (frontier.dequeue_order_index)
+            with self._phase("dq_order"):
+                self.wh.append_delta(
+                    "dequeue_order", round_no, FR.dequeue_order_index(dq, round_no)
                 )
-            )
+            return {}
 
-        # S7/S8 pages sink with F3 gate + J5 new-vs-update
-        storable = ok_rows.withColumn("_store", should_store(F.col("tags"), cfg))
-        saved = storable.where(F.col("_store")).select(
-            "url_id", "url", F.lit(round_no).alias("round"), order_spans(F.col("spans")).alias("spans")
-        )
-        pages_so_far = self.wh.read_deltas("pages", upto_round=round_no - 1)
-        if pages_so_far is not None:
-            # J5: left join against existing url_ids — column-pruned scan of
-            # the pages table (url_id only); Iceberg identifier stats / bloom
-            # make this a metadata-cheap probe at scale
-            existing = pages_so_far.select("url_id").distinct().withColumn("_old", F.lit(True))
-            saved = saved.join(existing, "url_id", "left")
-        else:
-            saved = saved.withColumn("_old", F.lit(None).cast("boolean"))
-        saved = saved.cache()
-        with self._phase("pages_split"):
-            sv = {r["old"]: r["count"] for r in saved.groupBy(F.col("_old").isNotNull().alias("old")).count().collect()}
-        new_n, upd_n = sv.get(False, 0), sv.get(True, 0)
-        stats.add("NEW_SAVED_PAGES", new_n)
-        stats.add("UPDATED_PAGES", upd_n)
-        stats.add("SAVED_PAGES", new_n + upd_n)
-        if new_n + upd_n:
-            with self._phase("pages_write"):
-                self.wh.append_delta("pages", round_no, saved.drop("_old"))
-
-        # S11 errors sink (debug-file analog: keep the failing row + its spans)
-        if n_errors:
-            errors = fetched.where(~F.col("ok")).select(
-                "url_id", "url", "error", F.lit(round_no).alias("round"), "spans"
-            )
-            self.wh.append_delta("errors", round_no, errors)
-
-        # dequeue-order lineage (golden-comparable): global D2 order as a
-        # range-partitioned sort (parallel) + zipWithIndex for contiguous
-        # seq — no single-partition window over the k-row batch.
-        # dequeue-order lineage (golden-comparable): distributed contiguous
-        # D2 rank, all-JVM (frontier.dequeue_order_index)
-        with self._phase("dq_order"):
-            self.wh.append_delta(
-                "dequeue_order", round_no, FR.dequeue_order_index(dq, round_no)
-            )
+        chains = [links_chain, fstats_chain, upd_chain, pages_chain, dq_order_chain]
+        with self._phase("chains_wall"):
+            if self.concurrent_sinks:
+                with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+                    results = list(pool.map(lambda c: c(), chains))
+            else:
+                results = [c() for c in chains]
+            for result in results:
+                for name, value in result.items():
+                    stats.add(name, value)
+        self._fr_count += stats.counters.get("DISCOVERED_URLS", 0)
 
         # periodic MoR compaction: reconcile deltas into a fresh base snapshot
         # so the delta window (and the broadcast upd side) stays bounded —
@@ -326,7 +384,7 @@ class Crawler:
         with self._phase("commit"):
             self._append_metrics(round_no, stats)
             self.wh.commit_round(round_no, {"dequeued": stats.dequeued, **stats.counters})
-        for c in (dq, retagged, eligible, link_cands, saved):
+        for c in (dq, retagged, eligible):
             c.unpersist()
         return stats
 

@@ -197,27 +197,90 @@ def eligible_capped(
     frontier: DataFrame, cfg: CrawlConfig, host_budgets: DataFrame | None = None
 ) -> DataFrame:
     """Stage 1 of A1: QUEUED ∧ attempt<max ∧ per-host politeness cap, column-
-    pruned to the dequeue columns. The crawler materializes THIS into the
-    executor cache once per round (the hot working set — at 10^10 rows ×
-    ~300 B that is ~3 GB/executor on 1000 executors), so the top-K histogram
-    passes and the dequeue itself never re-scan the frontier or rebuild the
-    queued-view broadcast."""
-    eligible = frontier.where(
+    pruned to the dequeue columns (the crawler splits these steps so the raw
+    eligible set is cached once and the cap reads the cache)."""
+    raw = eligible_raw(frontier, cfg)
+    over = over_budget_hosts(raw, cfg, host_budgets)
+    return apply_host_cap(raw, cfg, over, host_budgets)
+
+
+def eligible_raw(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """QUEUED ∧ attempt<max, pruned to dequeue columns. The crawler
+    materializes THIS into the executor cache once per round (the hot
+    working set — at 10^10 rows × ~300 B that is ~3 GB/executor on 1000
+    executors), so the over-budget probe, the top-K histogram and the
+    dequeue itself never re-scan the frontier or rebuild the queued-view
+    broadcast."""
+    return frontier.where(
         (F.col("status") == QUEUED) & can_attempt(F.col("attempt"), cfg)
-    )
+    ).select(*DEQUEUE_COLS)
+
+
+def _host_cap_expr(cfg: CrawlConfig, host_budgets: DataFrame | None) -> Column:
     budget = cfg.politeness.budget_per_host_per_round
+    if host_budgets is None:
+        return F.lit(budget)
+    cap = F.coalesce(F.col("host_budget"), F.lit(budget if budget is not None else 2**31 - 1))
+    return F.least(cap, F.lit(budget)) if budget is not None else cap
+
+
+def over_budget_hosts(
+    eligible: DataFrame, cfg: CrawlConfig, host_budgets: DataFrame | None = None
+) -> list[str] | None:
+    """Hosts exceeding their politeness cap — small BY CONSTRUCTION (the
+    budget exists to throttle the few hot hosts), so one collect of the
+    violators replaces per-row join machinery. Returns None when the list
+    is too large to in-line (degenerate config: budget ≪ typical host size)
+    — callers then fall back to the broadcast-join path (_cap_per_host)."""
+    budget = cfg.politeness.budget_per_host_per_round
+    if budget is None and host_budgets is None:
+        return []
+    counts = eligible.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
     if host_budgets is not None:
-        # robots crawl-delay modulation (robots.py host_budgets): per-host
-        # cap = min(config budget, delay-derived budget); broadcast join,
-        # the frontier side keeps its partitioning
-        eligible = eligible.join(F.broadcast(host_budgets), "host", "left")
-        cap = F.coalesce(F.col("host_budget"), F.lit(budget if budget is not None else 2**31 - 1))
-        if budget is not None:
-            cap = F.least(cap, F.lit(budget))
-        eligible = _cap_per_host(eligible, cap).drop("host_budget")
-    elif budget is not None:
-        eligible = _cap_per_host(eligible, F.lit(budget))
-    return eligible.select(*DEQUEUE_COLS)
+        counts = counts.join(F.broadcast(host_budgets), "host", "left")
+    over = counts.where(F.col("_n") > _host_cap_expr(cfg, host_budgets)).select("host")
+    rows = over.limit(10_001).collect()
+    if len(rows) > 10_000:
+        return None
+    return [r["host"] for r in rows]
+
+
+def apply_host_cap(
+    eligible: DataFrame,
+    cfg: CrawlConfig,
+    over_hosts: list[str] | None,
+    host_budgets: DataFrame | None = None,
+) -> DataFrame:
+    """Politeness budget: rank-cap ONLY the over-budget hosts; everyone else
+    passes wholesale with zero shuffle (see over_budget_hosts). NULL hosts
+    (can't occur for F1-filtered http URLs) pass uncapped."""
+    budget = cfg.politeness.budget_per_host_per_round
+    if budget is None and host_budgets is None:
+        return eligible
+    if over_hosts is None:
+        # too many violators to inline — broadcast-join form
+        if host_budgets is not None:
+            joined = eligible.join(F.broadcast(host_budgets), "host", "left")
+            return _cap_per_host(joined, _host_cap_expr(cfg, host_budgets)).drop("host_budget")
+        return _cap_per_host(eligible, F.lit(budget))
+    if not over_hosts:
+        return eligible
+    in_over = F.col("host").isin(over_hosts)
+    under = eligible.where(~in_over | F.col("host").isNull())
+    over = eligible.where(in_over)
+    if host_budgets is not None:
+        over = over.join(F.broadcast(host_budgets), "host", "left")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("attempt"), F.asc("url_id")
+    )
+    over = (
+        over.withColumn("_hr", F.row_number().over(w))
+        .where(F.col("_hr") <= _host_cap_expr(cfg, host_budgets))
+        .drop("_hr")
+    )
+    if host_budgets is not None:
+        over = over.drop("host_budget")
+    return under.unionByName(over)
 
 
 def topk_from_eligible(eligible: DataFrame, k: int | None) -> DataFrame:
@@ -271,71 +334,68 @@ def _cap_per_host(eligible: DataFrame, cap: Column) -> DataFrame:
 _TOPK_THRESHOLD_CUTOFF = 10_000
 
 
-def _dequeue_threshold(eligible: DataFrame, k: int) -> DataFrame:
-    """Exact large-k top-K without a global sort.
+def _dequeue_threshold(eligible: DataFrame, k: int, prefix_len: int = 3) -> DataFrame:
+    """Exact large-k top-K without a global sort — ONE histogram pass.
 
-    Priorities are small ints (tag scores), so the (priority, attempt)
-    histogram is tiny: collect it, walk it in D2 order until the cumulative
-    count reaches k — whole classes above the boundary are taken wholesale
-    (a parallel filter, no ordering at all); only the single boundary class
-    is topped-off by url_id with a small TakeOrdered. At 10^10 rows this
-    replaces a k×P-row single-task merge with one histogram agg + one filter.
+    Priorities are small ints (tag scores), so the joint
+    (priority, attempt, url_id-prefix) histogram is tiny (classes × 16^len
+    for hex ids): collect it once, walk it in D2 order until the cumulative
+    count reaches k. Whole classes above the boundary are taken wholesale;
+    within the single boundary class whole PREFIX buckets below the cut are
+    taken (prefix truncation preserves lexicographic order, and buckets are
+    consumed ascending — so the filter is a RANGE comparison
+    ``prefix < cut``, one string compare per row, never a giant INSET);
+    only the boundary bucket itself is topped-off with a small TakeOrdered.
+    At 10^10 rows this replaces a k×P-row single-task merge with one
+    aggregation + one cheap filter, and the degenerate uniform-priority
+    frontier (boundary class = everything) costs the same as the easy case.
     """
-    hist = sorted(
-        eligible.groupBy("priority", "attempt").count().collect(),
-        key=lambda r: (-r["priority"], r["attempt"]),
-    )
-    taken, boundary, remaining = [], None, k
+    pre = F.substring("url_id", 1, prefix_len)
+    hist = eligible.groupBy("priority", "attempt", pre.alias("_p")).count().collect()
+    classes: dict[tuple, list] = {}
     for r in hist:
-        if r["count"] <= remaining:
-            taken.append((r["priority"], r["attempt"]))
-            remaining -= r["count"]
+        classes.setdefault((r["priority"], r["attempt"]), []).append((r["_p"], r["count"]))
+    taken_classes, boundary, remaining = [], None, k
+    for cls_key in sorted(classes, key=lambda c: (-c[0], c[1])):
+        n = sum(c for _, c in classes[cls_key])
+        if n <= remaining:
+            taken_classes.append(cls_key)
+            remaining -= n
             if remaining == 0:
                 break
         else:
-            boundary = (r["priority"], r["attempt"], remaining)
+            boundary = cls_key
             break
     whole: Column = F.lit(False)
-    for p, a in taken:
+    for p, a in taken_classes:
         whole = whole | ((F.col("priority") == p) & (F.col("attempt") == a))
     out = eligible.where(whole)
-    if boundary is not None:
-        p, a, r = boundary
+    if boundary is not None and remaining > 0:
+        p, a = boundary
         cls = eligible.where((F.col("priority") == p) & (F.col("attempt") == a))
-        out = out.unionByName(_topoff_by_url_id(cls, r))
-    return out
-
-
-def _topoff_by_url_id(cls: DataFrame, r: int, prefix_len: int = 3) -> DataFrame:
-    """Exact r smallest url_ids of one (priority, attempt) class without a
-    giant single-task merge.
-
-    Degenerate case this exists for: uniform priorities make the boundary
-    class the WHOLE frontier, so `orderBy(url_id).limit(r)` would merge
-    r × P rows in one task (19M rows at r=600k, P=32 — measured to flatten
-    scaling completely). Instead: histogram on the url_id PREFIX (prefix
-    order ≡ string order), take whole prefix buckets below the cut, and
-    TakeOrdered only inside the single boundary bucket (≈ class/16^len rows
-    for hash ids; exact for ANY id distribution, just less pruned).
-    """
-    if r <= _TOPK_THRESHOLD_CUTOFF:
-        return cls.orderBy(F.asc("url_id")).limit(r)
-    pre = F.substring("url_id", 1, prefix_len)
-    hist = sorted(cls.groupBy(pre.alias("_p")).count().collect(), key=lambda x: x["_p"])
-    taken_prefixes, boundary_prefix, remaining = [], None, r
-    for row in hist:
-        if row["count"] <= remaining:
-            taken_prefixes.append(row["_p"])
-            remaining -= row["count"]
-            if remaining == 0:
+        cut_prefix = None
+        for prefix, n in sorted(classes[boundary]):
+            if n <= remaining:
+                remaining -= n
+                cut_prefix = prefix  # whole buckets ≤ cut taken via range filter
+                if remaining == 0:
+                    break
+            else:
+                # partial boundary bucket: range-take everything below it,
+                # TakeOrdered the remainder inside it
+                edge = (
+                    cls.where(pre == prefix).orderBy(F.asc("url_id")).limit(remaining)
+                    if remaining <= _TOPK_THRESHOLD_CUTOFF
+                    else _dequeue_threshold(
+                        cls.where(pre == prefix), remaining, prefix_len + 2
+                    )
+                )
+                out = out.unionByName(edge)
+                remaining = 0
+                if cut_prefix is None:
+                    return out
                 break
-        else:
-            boundary_prefix = row["_p"]
-            break
-    out = cls.where(pre.isin(taken_prefixes)) if taken_prefixes else None
-    if boundary_prefix is not None and remaining > 0:
-        edge = cls.where(pre == boundary_prefix).orderBy(F.asc("url_id")).limit(remaining)
-        out = edge if out is None else out.unionByName(edge)
+        out = out.unionByName(cls.where(pre <= cut_prefix)) if cut_prefix else out
     return out
 
 

@@ -37,7 +37,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # HotSpot refuses to JIT methods over 8 KB of bytecode
+        # (-XX:DontCompileHugeMethods): a whole-stage-codegen method past
+        # that limit runs INTERPRETED — measured 10-15x slowdowns on wide
+        # frontier plans. Capping hugeMethodLimit makes Spark fall back to
+        # non-codegen execution for exactly those stages, which is merely
+        # ~2x slower and, critically, predictable.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # the per-round eligible cache is read several times per round; RLE
+        # re-decode on every pass showed up as a top CPU frame — trade memory
+        # for decode-free columnar reads
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:  # per-stage metrics for the scaling report's CPU accounting
+        os.makedirs(ev_dir, exist_ok=True)
+        b = b.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", ev_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

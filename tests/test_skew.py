@@ -55,11 +55,24 @@ def test_salting_bounds_partition_sizes(spark):
 
 def test_dequeue_plan_shapes(spark):
     """Plan checks: the global top-K dequeue compiles to TakeOrderedAndProject
-    (per-partition heap, no global sort); the budget variant is a window."""
+    (per-partition heap, no global sort); the politeness window materializes
+    ONLY for hosts that actually exceed their budget — an all-under-budget
+    frontier must not shuffle a single row for the cap."""
+    from dumb_crawler_spark.config import Politeness
+
     cfg = CrawlConfig()
     fr = FR.empty_frontier(spark)
     plan = FR.dequeue(fr, cfg, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
-    cfg2 = CrawlConfig(politeness=__import__("dumb_crawler_spark.config", fromlist=["Politeness"]).Politeness(budget_per_host_per_round=2))
-    plan2 = FR.dequeue(fr, cfg2, k=10)._jdf.queryExecution().executedPlan().toString()
-    assert "Window" in plan2
+    cfg2 = CrawlConfig(politeness=Politeness(budget_per_host_per_round=2))
+    # under-budget everywhere (empty frontier) → cap is a no-op, no Window
+    plan_under = FR.dequeue(fr, cfg2, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan_under
+    # one hot host over budget → Window appears, scoped to the hot subset
+    rows = [(f"u{i}", f"http://hot.example.com/{i}", "hot.example.com", ["t"], 0, 5, 0, 0, 0, None, None, None, 0) for i in range(5)]
+    hot = spark.createDataFrame(rows, FR.FRONTIER_SCHEMA)
+    capped = FR.apply_host_cap(FR.eligible_raw(hot, cfg2), cfg2, ["hot.example.com"])
+    plan_over = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan_over
+    got = capped.count()
+    assert got == 2 + 0  # budget rows from the hot host, nothing else
