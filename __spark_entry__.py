@@ -312,6 +312,56 @@ def q_multimodal_features(spark, sf):
     return MM.extract_features(media).select("media_id", "kind", "n_bytes", "sha1")
 
 
+def q_extract_links(spark, sf):
+    """L2 span link extraction + F4 nofollow drop
+    (CrawlingTaskCallable.java:92-106) over the corpus derived from
+    `documents`: per-doc distinct link set, compared order-insensitively
+    (exact first-occurrence ORDER is pinned by the crawl goldens). The
+    oracle reconstructs the expected links arithmetically — a fully
+    independent derivation."""
+    from dumb_crawler_spark.corpus import docs_from_documents_table
+    from dumb_crawler_spark.extract import extract_links
+
+    corpus = docs_from_documents_table(_t(spark, sf, "documents"))
+    url = F.concat(F.lit("http://corpus.example.com/doc/"), F.col("doc_id"))
+    return (
+        corpus.withColumn("links", extract_links(F.col("spans"), url))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size("links").alias("n_links"),
+            F.array_join(F.array_sort("links"), "|").alias("links_sorted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_robots_filter(spark, sf):
+    """J6-NR robots path-prefix gate (robots.filter_robots_allowed) over
+    candidate URLs derived from `events`; broadcast-joined tiny robots
+    table, the candidate side never shuffles."""
+    from dumb_crawler_spark.robots import ROBOTS_SCHEMA, filter_robots_allowed
+
+    ev = _t(spark, sf, "events")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"), F.lit(".example.com"))
+    cands = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("http://"), host, F.lit("/"), F.col("event_type"),
+            F.lit("/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        host.alias("host"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("h0.example.com", ["/click"], None),
+            ("h1.example.com", ["/view", "/purchase"], 1000),
+            ("h3.example.com", [], None),
+        ],
+        ROBOTS_SCHEMA,
+    )
+    return filter_robots_allowed(cands, robots).select("event_id", "url", "host")
+
+
 def q_crawl_flagship(spark, sf):
     """Full crawl rounds over a corpus derived from `documents` (rows-only:
     the multi-round MERGE loop is not one SQL statement). Returns the exact
@@ -359,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "embed_cosine_dups": q_embed_cosine_dups,
         "multimodal_meta": q_multimodal_meta,
+        "extract_links": q_extract_links,
+        "robots_filter": q_robots_filter,
         # rows-only (no oracle_sql)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -390,6 +442,36 @@ def oracle_sql() -> dict[str, str]:
         "frontier_topk_dequeue": """
             SELECT event_id, user_id, event_type, round(value, 2) AS value
             FROM events ORDER BY value DESC, event_id ASC LIMIT 100
+        """,
+        "extract_links": """
+            WITH d AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+                 n AS (SELECT count(*) AS c FROM documents)
+            SELECT i AS doc_id,
+                   len(l) AS n_links,
+                   array_to_string(list_sort(l), '|') AS links_sorted
+            FROM (
+              SELECT i, list_distinct(
+                  ['http://corpus.example.com/doc/' || CAST((7*i+1) % (SELECT c FROM n) AS VARCHAR),
+                   'http://corpus.example.com/doc/' || CAST((13*i+2) % (SELECT c FROM n) AS VARCHAR)]
+                  || CASE WHEN i % 3 = 0
+                     THEN ['http://cdn.corpus.example.com/img/' || CAST(i AS VARCHAR) || '.jpg']
+                     ELSE CAST([] AS VARCHAR[]) END
+                  || ['http://corpus.example.com/doc/' || CAST((3*i+5) % (SELECT c FROM n) AS VARCHAR)]
+                ) AS l
+              FROM d)
+            ORDER BY doc_id
+        """,
+        "robots_filter": """
+            WITH c AS (
+              SELECT event_id,
+                     'http://h' || CAST(user_id % 5 AS VARCHAR) || '.example.com/'
+                       || event_type || '/' || CAST(event_id AS VARCHAR) AS url,
+                     'h' || CAST(user_id % 5 AS VARCHAR) || '.example.com' AS host,
+                     '/' || event_type || '/' || CAST(event_id AS VARCHAR) AS path
+              FROM events)
+            SELECT event_id, url, host FROM c
+            WHERE NOT (host = 'h0.example.com' AND path LIKE '/click%')
+              AND NOT (host = 'h1.example.com' AND (path LIKE '/view%' OR path LIKE '/purchase%'))
         """,
         "frontier_perhost_budget": """
             SELECT event_id, user_id, round(value, 2) AS value, rn FROM (

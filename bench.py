@@ -144,6 +144,8 @@ QUERY_NAMES = [
     "seen_set_antijoin",
     "pages_new_vs_update",
     "sessionize",
+    "extract_links",
+    "robots_filter",
     "tpch_q1",
     "revenue_by_nation",
     "top_parts_by_revenue",

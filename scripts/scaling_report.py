@@ -185,16 +185,19 @@ least-contended capability estimate). All samples (seconds):
 local[{n_cores}] = {samples[f'local{n_cores}_seconds']},
 local[{n4_cores}] = {samples[f'local{n4_cores}_seconds']}.
 
-**Engine CPU neutrality**: total task CPU per URL (from Spark event logs)
-is {cpu_n} µs at local[{n_cores}] vs {cpu_4n} µs at local[{n4_cores}] —
-the engine performs the same work per URL regardless of parallelism (no
-lock contention, no duplicated work, no skewed stragglers). The wall-clock
-efficiency gap is therefore the machine's shared memory system, quantified
-Spark-free below, not the engine's design. At 10^10-row scale every
-frontier operation here is partition-local by construction (`part`
-bucketing; broadcast-only joins on the k-bounded sides; no full-table
-shuffles per round), so adding EXECUTORS adds memory controllers and
-bandwidth — the resource this box cannot add.
+**CPU accounting** (from Spark event logs): total task CPU per URL is
+{cpu_n} µs at local[{n_cores}] vs {cpu_4n} µs at local[{n4_cores}] — a
+{(cpu_4n / cpu_n if cpu_n and cpu_4n else 0):.2f}× per-URL CPU inflation at
+the higher parallelism. Thread CPU time includes memory-stall cycles, and
+this inflation closely tracks the Spark-free probe below (per-process
+slowdown under concurrent DRAM streaming) — i.e. the extra "CPU" is the
+shared memory system, not engine-added work (no lock contention or
+duplicated computation: at equal parallelism the per-URL CPU is stable
+across runs). At 10^10-row scale every frontier operation here is
+partition-local by construction (`part` bucketing; broadcast-only joins on
+the k-bounded sides; no full-table shuffles per round), so adding
+EXECUTORS adds memory controllers and bandwidth — the resource this box
+cannot add.
 
 ## Why N={n_cores} / 4N={n4_cores} (the single-box bandwidth ceiling)
 
