@@ -128,35 +128,61 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k_shingle: int = 3,
-    max_shingle_freq: int = 256,
 ) -> DataFrame:
-    """Exact shingle-Jaccard pairs ≥ threshold via an inverted index:
-    explode shingles → join on shingle → count shared per pair →
-    jaccard = shared / (|A| + |B| − shared).
+    """EXACT shingle-Jaccard pairs ≥ threshold via prefix filtering (the
+    PPJoin family's candidate pruning, kept to its Spark-friendly core):
 
-    ``max_shingle_freq`` drops stop-shingles (present in too many docs) —
-    the standard scale guard: a shingle in f docs contributes f² join rows.
+    1. order every doc's shingle set by a GLOBAL rarity order (frequency,
+       then shingle);
+    2. a pair with jaccard ≥ t must share ≥1 shingle among each side's
+       first ``n − ⌈t·n⌉ + 1`` shingles in that order (pigeonhole) — so the
+       inverted-index self-join runs only over those PREFIXES, whose
+       entries are by construction the RAREST shingles (a shingle in f
+       prefixes contributes f² candidate rows, so stop-shingles never
+       explode the join the way a naive shingle self-join does);
+    3. candidates verify exactly via ``array_intersect`` on the full
+       shingle arrays.
+
+    Unlike a frequency-cap heuristic, this is exact at every threshold.
     """
-    base = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh"))
-    sizes = base.select("id", F.size("sh").alias("n"))
-    inv = base.select("id", F.explode("sh").alias("s"))
-    freq = inv.groupBy("s").agg(F.count("*").alias("f")).where(F.col("f") <= max_shingle_freq)
-    inv = inv.join(F.broadcast(freq.select("s")), "s")
-    shared = (
-        inv.alias("l")
-        .join(inv.alias("r"), "s")
-        .where(F.col("l.id") < F.col("r.id"))
-        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .agg(F.count("*").alias("shared"))
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    inv = base.select("id", "n", F.explode("sh").alias("s"))
+    freq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("id").orderBy(F.asc("f"), F.asc("s"))
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(threshold)).cast("int") + 1
+    pref = (
+        inv.join(freq, "s")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= prefix_len)
+        .select("id", "s", "n")
     )
-    out = (
-        shared.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n", "na"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n", "nb"), "b")
-        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4))
+    cands = (
+        pref.alias("l")
+        .join(pref.alias("r"), "s")
+        .where(
+            (F.col("l.id") < F.col("r.id"))
+            # length filter: jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t
+            & (F.col("r.n") >= F.ceil(F.col("l.n") * F.lit(threshold)))
+            & (F.col("l.n") >= F.ceil(F.col("r.n") * F.lit(threshold)))
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
+    left = base.select(F.col("id").alias("a"), F.col("sh").alias("_sha"), F.col("n").alias("na"))
+    right = base.select(F.col("id").alias("b"), F.col("sh").alias("_shb"), F.col("n").alias("nb"))
+    return (
+        cands.join(left, "a")
+        .join(right, "b")
+        .withColumn("shared", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
