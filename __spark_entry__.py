@@ -535,7 +535,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "sessionize": """
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM (
               SELECT user_id,
                      CASE WHEN epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess

@@ -21,6 +21,22 @@ from pyspark.sql import functions as F
 
 from .text import normalize_text
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard for CPU-bound signature computation.
+
+    A single small parquet file scans as ONE input split = one task, which
+    serializes the heavy per-row work (shingling, 32-way minhash, 64-bit
+    simhash folds) no matter how many cores exist. Repartition only when the
+    scan yields fewer partitions than the cluster's default parallelism — a
+    no-op at 100 TB (thousands of splits); locally it unlocks all cores.
+    The shuffle moves each doc's text once, which the signature compute
+    dominates by orders of magnitude."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -69,6 +85,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k_shingle: int = 3,
+    bucket_cap: int = 64,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -77,10 +95,21 @@ def minhash_lsh_pairs(
     shingle Jaccard. Returns (a, b, jaccard) with a < b.
 
     Shuffle profile: explode(bands) → groupBy(band, band_hash) — the pair
-    space never materializes globally, only within buckets. Oversized
-    buckets (boilerplate explosion) are capped defensively.
+    space never materializes globally, only within buckets.
+
+    Oversized buckets (boilerplate explosions — at 100 TB exactly where dup
+    mass lives) are NOT silently dropped: the first ``bucket_cap`` rows of a
+    bucket form the full clique join (O(cap²)), and every row BEYOND the cap
+    pairs with the bucket's rank-1 anchor (O(bucket) instead of O(bucket²)).
+    A giant bucket of near-identical docs therefore still links every member
+    to the anchor (connected-component dedup recovers the group); only
+    beyond-cap rows that match *neither* the anchor *nor* any other band
+    escape — the documented residue of the star approximation. Pass
+    ``metrics`` (a dict) to get ``CAPPED_BUCKET_ROWS`` counted (one extra
+    action — the repo's "no silent caps" rule made observable).
     """
     rows_per_band = num_hashes // bands
+    docs = _spread(docs)
     base = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
@@ -99,15 +128,36 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    # bucket-local pairs: self-join per (band, band_hash); cap bucket size
+    # bucket-local pairs: self-join per (band, band_hash) over the capped
+    # head; overflow rows star-join the bucket anchor (rank 1)
     w = Window.partitionBy("band", "bh").orderBy("id")
-    capped = banded.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= 64)
+    ranked = banded.withColumn("_r", F.row_number().over(w))
+    capped = ranked.where(F.col("_r") <= bucket_cap)
+    overflow = ranked.where(F.col("_r") > bucket_cap)
+    if metrics is not None:
+        metrics["CAPPED_BUCKET_ROWS"] = overflow.count()
     left = capped.select("band", "bh", F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     right = capped.select("band", "bh", F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    anchors = capped.where(F.col("_r") == 1).select(
+        "band", "bh", F.col("id").alias("a"), F.col("sh").alias("sh_a")
+    )
+    star = anchors.join(
+        overflow.select("band", "bh", F.col("id").alias("b"), F.col("sh").alias("sh_b")),
+        ["band", "bh"],
+    ).where(F.col("a") != F.col("b"))
+    # canonicalize star pairs to a < b (anchor has the bucket-min id, but ids
+    # are compared globally, so enforce it anyway)
+    star = star.select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        F.when(F.col("a") < F.col("b"), F.col("sh_a")).otherwise(F.col("sh_b")).alias("sh_a"),
+        F.when(F.col("a") < F.col("b"), F.col("sh_b")).otherwise(F.col("sh_a")).alias("sh_b"),
+    )
     pairs = (
         left.join(right, ["band", "bh"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "sh_a", "sh_b")
+        .unionByName(star)
         .dropDuplicates(["a", "b"])
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -145,6 +195,7 @@ def ngram_jaccard_pairs(
 
     Unlike a frequency-cap heuristic, this is exact at every threshold.
     """
+    docs = _spread(docs)
     base = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k_shingle).alias("sh")
     ).withColumn("n", F.size("sh"))
@@ -197,18 +248,23 @@ def simhash64(text: Column) -> Column:
     into one bigint. All array higher-order functions — executes in codegen.
     """
     toks = F.split(normalize_text(text), " ")
-    # counts[i] = Σ ±1 over tokens for bit i. Bit positions are Python-level
-    # literals (F.shiftright requires a static shift amount).
-    bits_of = lambda t: F.array(
+    # Hash each token EXACTLY ONCE (transform), then fold the 64 bit-counters
+    # over the hashed array — instantiating xxhash64(t) inside each per-bit
+    # branch would re-hash every token 64× (Catalyst does not CSE across
+    # lambda instantiations; measured ~10× slower at sf0.1). Bit positions
+    # are Python-level literals (F.shiftright requires a static shift), and
+    # ±1 is (bit*2 − 1) — branch-free.
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    bits_pm1 = lambda h: F.array(
         *[
-            F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
             for i in range(64)
         ]
     )
     counts = F.aggregate(
-        toks,
+        hashed,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(acc, bits_of(t), lambda a, b: a + b),
+        lambda acc, h: F.zip_with(acc, bits_pm1(h), lambda a, b: a + b),
     )
     # masks: bit 63 is the sign bit of a signed long
     masks = F.array(*[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)])
@@ -229,7 +285,7 @@ def simhash_pairs(
     by pigeonhole, hamming ≤ 3 ⇒ at least one chunk identical — join on
     (chunk_idx, chunk_value), verify exact hamming with bit_count(xor).
     """
-    sig = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sig = _spread(docs).select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
     chunks = sig.select(
         "id",
         "sig",
@@ -297,7 +353,7 @@ def embedding_cosine_pairs(
         (F.when(plane_dot(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
         F.lit(0),
     )
-    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bucket"))
+    base = _spread(emb).select(F.col(id_col).alias("id"), v.alias("v"), bucket.alias("bucket"))
     l = base.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
     r = base.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
     pairs = l.join(r, "bucket").where(F.col("a") < F.col("b"))

@@ -57,31 +57,53 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _assign(emb: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
+    """Nearest-centroid (max cosine) assignment as a `list_id` column."""
+    v = _as_double(F.col(vec_col))
+    sims = F.array(*[cosine(v, _query_lit(c)) for c in cents])
+    list_id = F.expr("array_position(sims_arr, array_max(sims_arr)) - 1")
+    return emb.withColumn("sims_arr", sims).withColumn("list_id", list_id.cast("int")).drop("sims_arr")
+
+
 def build_ivf(
     emb: DataFrame,
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 2,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Assign every vector to its nearest of `nlist` centroids.
+    """Assign every vector to its nearest of `nlist` k-means centroids.
 
-    Centroids are the deterministic first `nlist` vectors by id — a cheap,
-    reproducible seeding (k-means refinement would be iterative `groupBy` +
-    recompute; one assignment pass is enough to demonstrate the partition-
-    pruned probe plan and keeps the oracle expressible).
+    Seeding is deterministic (first `nlist` vectors by id), then
+    ``kmeans_iters`` Lloyd iterations refine: assign → per-list mean.
+    The mean is computed distributed — posexplode to (list_id, pos, val),
+    then groupBy(list_id, pos).avg, a map-side-combinable partial agg that
+    reduces n×dim rows to nlist×dim before the shuffle; only the nlist×dim
+    centroid table is ever collected. Empty lists keep their previous
+    centroid. Deterministic end to end (no RNG).
     Returns (assigned_df with `list_id`, centroids).
     """
     cents = [
         [float(x) for x in r[vec_col]]
         for r in emb.orderBy(id_col).limit(nlist).collect()
     ]
-    v = _as_double(F.col(vec_col))
-    sims = F.array(*[cosine(v, _query_lit(c)) for c in cents])
-    list_id = F.expr(
-        "array_position(sims_arr, array_max(sims_arr)) - 1"
-    )
-    assigned = emb.withColumn("sims_arr", sims).withColumn("list_id", list_id.cast("int")).drop("sims_arr")
-    return assigned, cents
+    dim = len(cents[0]) if cents else 0
+    for _ in range(kmeans_iters):
+        assigned = _assign(emb, cents, vec_col)
+        means = (
+            assigned.select("list_id", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        by_list: dict[int, list[float]] = {}
+        for r in means:
+            by_list.setdefault(r["list_id"], [0.0] * dim)[r["pos"]] = r["m"]
+        for li, vec in by_list.items():
+            new_cents[li] = vec
+        cents = new_cents
+    return _assign(emb, cents, vec_col), cents
 
 
 def ivf_topk(

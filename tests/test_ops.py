@@ -58,6 +58,28 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert all(j <= 1.0 for j in pairs.values())
 
 
+def test_minhash_bucket_cap_no_silent_drop(spark):
+    """A bucket larger than bucket_cap must still surface its dup mass:
+    beyond-cap rows star-join the bucket anchor instead of being dropped,
+    and the capped-row count is observable via the metrics dict
+    (VERDICT r01 'no silent caps')."""
+    rows = [(i, "identical boilerplate text block repeated for the cap test") for i in range(80)]
+    rows.append((999, "completely unrelated content words apples oranges bananas kiwi"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    metrics: dict = {}
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(df, bucket_cap=16, metrics=metrics).collect()
+    }
+    assert metrics["CAPPED_BUCKET_ROWS"] > 0
+    # every identical doc is linked (anchor star covers beyond-cap rows)
+    linked = {x for p in pairs for x in p}
+    assert set(range(80)) <= linked
+    for i in range(16, 80):  # beyond-cap members pair with the anchor, exact jaccard
+        assert pairs.get((0, i)) == 1.0
+    assert not any(999 in p for p in pairs)
+
+
 def test_simhash_near_dups(docs):
     sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", D.simhash64(F.col("text")).alias("s")).collect()}
     assert sigs[1] == sigs[2]  # identical normalized text → identical simhash
@@ -99,12 +121,21 @@ def test_cosine_topk_matches_python(emb):
 def test_ivf_topk_recall(emb):
     df, rows = emb
     q = [float(x) for x in rows[0][1]]
-    assigned, cents = SIM.build_ivf(df, nlist=8)
-    exact = [r["vec_id"] for r in SIM.cosine_topk(df, q, k=5).collect()]
-    approx = [r["vec_id"] for r in SIM.ivf_topk(assigned, cents, q, k=5, nprobe=4).collect()]
+    assigned, cents = SIM.build_ivf(df, nlist=8, kmeans_iters=2)
+    exact = [r["vec_id"] for r in SIM.cosine_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in SIM.ivf_topk(assigned, cents, q, k=10, nprobe=4).collect()]
     # top-1 must be found (query IS vector 0, which sits in its own nearest list)
     assert approx[0] == exact[0] == 0
-    assert len(set(exact) & set(approx)) >= 3  # decent recall at nprobe=4/8
+    # k-means-refined lists: recall ≥ 0.9 vs brute at nprobe=4/8 (VERDICT r01 #6)
+    assert len(set(exact) & set(approx)) >= 9
+
+
+def test_ivf_kmeans_deterministic(emb):
+    """Lloyd refinement is RNG-free: two builds give identical centroids."""
+    df, _ = emb
+    _, c1 = SIM.build_ivf(df, nlist=8, kmeans_iters=2)
+    _, c2 = SIM.build_ivf(df, nlist=8, kmeans_iters=2)
+    assert c1 == c2
 
 
 def test_embedding_cosine_pairs_lsh_vs_brute(emb):
