@@ -28,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "2000000"))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+# ≥4 rounds so session bootstrap + first-round JIT warmup amortize and the
+# per-round serial fraction is visible as a steady-state, not a startup cost
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "4"))
 K_PER_ROUND = int(os.environ.get("BENCH_K", "200000"))
 # ~32 B of prose per repeat unit; 64 ≈ 2 KB text spans (page-byte-streaming
 # heavy — exercises the DRAM-bound fetch path), small values emphasize the

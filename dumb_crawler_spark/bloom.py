@@ -52,11 +52,24 @@ class PartitionedBloom:
     def __init__(self, filters: dict[int, tuple[bytes, int, int]], expected_per_part: int | None = None):
         self.filters = filters
         self.expected_per_part = expected_per_part
+        self._bcast = None  # lazy sc.broadcast handle (see might_contain)
+
+    def broadcast_bytes(self) -> int:
+        """Total bitmap payload that one executor holds (all parts)."""
+        return sum(len(bm) for bm, _, _ in self.filters.values())
+
+    def _release_broadcast(self) -> None:
+        if self._bcast is not None:
+            # unpersist (not destroy): frees executor copies now, but the
+            # driver can lazily re-ship if this instance is probed again
+            self._bcast.unpersist()
+            self._bcast = None
 
     def union(self, other: "PartitionedBloom") -> "PartitionedBloom":
         """Incremental growth (per-round): OR the bitmaps of filters built
         with the SAME (m, k) presizing — rebuild over 10^10 rows every round
-        is exactly what this avoids; only the round's inserts get hashed."""
+        is exactly what this avoids; only the round's inserts get hashed.
+        Both inputs' executor broadcast copies are released (consumed)."""
         merged = dict(self.filters)
         for p, (bm, m, k) in other.filters.items():
             if p in merged:
@@ -66,6 +79,8 @@ class PartitionedBloom:
                 merged[p] = (bytes(a | b for a, b in zip(bm0, bm)), m, k)
             else:
                 merged[p] = (bm, m, k)
+        self._release_broadcast()
+        other._release_broadcast()
         return PartitionedBloom(merged, self.expected_per_part or other.expected_per_part)
 
     @staticmethod
@@ -108,13 +123,25 @@ class PartitionedBloom:
 
     def might_contain(self, df: DataFrame, url_id_col: str = "url_id", part_col: str = "part") -> DataFrame:
         """Adds boolean ``_maybe_seen``: False ⇒ definitely NOT in the
-        frontier (skip the exact join); True ⇒ verify exactly."""
-        filters = self.filters  # closure-captured; Spark broadcasts with the task
+        frontier (skip the exact join); True ⇒ verify exactly.
+
+        The bitmap dict ships via ``sc.broadcast`` ONCE per filter version
+        (torrent-style executor fan-out, fetched on first task, cached per
+        executor) — NOT closure-captured, which would re-serialize the whole
+        filter (~1.2 GB per 10^9 keys at 1% fpr) into every task binary. At
+        cluster scale the next step beyond a single broadcast is keeping the
+        bitmaps as a (part, bitmap) table storage-partitioned alongside the
+        frontier so each task reads only its partition's bitmap; the probe
+        below is already per-part, so only the delivery mechanism changes."""
+        if self._bcast is None:
+            self._bcast = df.sparkSession.sparkContext.broadcast(self.filters)
+        bcast = self._bcast  # closure holds the small handle, not the dict
         h1, h2 = _h1h2(F.col(url_id_col))
         probe = df.withColumn("_h1", h1).withColumn("_h2", h2)
 
         @F.pandas_udf("boolean")
         def maybe_seen(part: pd.Series, h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+            filters = bcast.value
             out = np.zeros(len(part), dtype=bool)
             parts = part.to_numpy()
             a_all = h1s.to_numpy(dtype=np.int64).astype(np.uint64)

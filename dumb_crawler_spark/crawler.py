@@ -84,6 +84,7 @@ class Crawler:
         self.concurrent_sinks = concurrent_sinks
         self._fr_count = 0  # remembered frontier size (avoids before/after double counts)
         self.phase_times: dict[str, float] = {}  # accumulated per-phase secs (perf triage)
+        self._phase_lock = threading.Lock()  # chains run concurrently with concurrent_sinks
         self._bloom = None
         self._bloom_capacity = 0
         self._host_budgets = None
@@ -98,14 +99,18 @@ class Crawler:
         t0 = time.time()
         main = threading.current_thread() is threading.main_thread()
         if main:  # job-description local properties are per-JVM-thread;
-            # only the main thread's py4j connection is stable enough to tag
-            self.spark.sparkContext.setJobDescription(f"phase:{name}")
+            # only the main thread's py4j connection is stable enough to tag.
+            # Save/restore so nested phases reinstate the outer description.
+            sc = self.spark.sparkContext
+            prev = sc.getLocalProperty("spark.job.description")
+            sc.setJobDescription(f"phase:{name}")
         try:
             yield
         finally:
             if main:
-                self.spark.sparkContext.setJobDescription(None)
-            self.phase_times[name] = self.phase_times.get(name, 0.0) + (time.time() - t0)
+                sc.setJobDescription(prev)
+            with self._phase_lock:
+                self.phase_times[name] = self.phase_times.get(name, 0.0) + (time.time() - t0)
 
     def _write_frontier(self, round_no: int, fr) -> None:
         """Snapshot write with explicit layout: repartition by `part` (the
@@ -158,13 +163,14 @@ class Crawler:
         # built) exactly once per round.
         k = cfg.thread_count * 2
         eligible = FR.eligible_raw(frq, cfg).cache()
-        with self._phase("host_cap"):
-            # first action on `eligible` — materializes the cache AND probes
-            # for over-budget hosts in the same job
-            over = FR.over_budget_hosts(eligible, cfg, self._host_budgets)
-        capped = FR.apply_host_cap(eligible, cfg, over, self._host_budgets)
         with self._phase("dequeue_plan"):
-            dq = FR.topk_from_eligible(capped, k).cache()
+            # ONE grouping-sets job (frontier.plan_dequeue) materializes the
+            # cache AND yields both the over-budget host list and the top-K
+            # class histogram; the legacy path paid two full eligible passes.
+            # dq_offsets feed the lineage rank so dq_order launches no
+            # histogram job of its own.
+            dq_plan, dq_offsets = FR.plan_dequeue(eligible, cfg, k, self._host_budgets)
+            dq = dq_plan.cache()
 
         # T4 re-tag + re-filter; disallowed rows leak as PROCESSING (reference
         # marks taken before filtering, URLStore.java:191-206 + DumbCrawler.java:275-279).
@@ -248,9 +254,9 @@ class Crawler:
                 bloom = self._bloom
             new_rows = FR.new_link_rows(seen_ids, allowed_cands, round_no, depth=round_no, bloom=bloom)
             with self._phase("ins_write"):
-                self.wh.write_frontier_inserts(round_no, new_rows)
-            with self._phase("ins_count"):
-                inserted_n = self.wh.read_frontier_inserts(round_no).count()
+                # returns the footer row count — no read-back count job; a
+                # zero-insert round leaves no ins- dir at all
+                inserted_n = self.wh.write_frontier_inserts(round_no, new_rows)
             out["DISCOVERED_URLS"] = inserted_n
             if self.use_bloom and inserted_n:
                 # incremental: hash ONLY this round's inserts into the filter
@@ -324,40 +330,50 @@ class Crawler:
             return {}
 
         def pages_chain() -> dict[str, int]:
-            # S7/S8 pages sink with F3 gate + J5 new-vs-update
-            storable = ok_rows.withColumn("_store", should_store(F.col("tags"), cfg))
-            saved = storable.where(F.col("_store")).select(
+            # S7/S8 pages sink with F3 gate + J5 new-vs-update. The span
+            # payload makes one pass (gate → order_spans → parquet); the
+            # new-vs-update split then runs over url_id-ONLY scans — the
+            # k-bounded fresh delta broadcast-semi-joins the prior pages
+            # table (no span bytes through the join, no O(pages) distinct
+            # shuffle per round; Iceberg identifier stats / bloom make the
+            # probe metadata-cheap at scale).
+            saved = ok_rows.where(should_store(F.col("tags"), cfg)).select(
                 "url_id", "url", F.lit(round_no).alias("round"),
                 order_spans(F.col("spans")).alias("spans"),
             )
+            with self._phase("pages_write"):
+                saved_n = self.wh.append_delta("pages", round_no, saved, keep_empty=False)
+            if saved_n == 0:
+                return {"NEW_SAVED_PAGES": 0, "UPDATED_PAGES": 0, "SAVED_PAGES": 0}
+            upd_n = 0
             pages_so_far = self.wh.read_deltas("pages", upto_round=round_no - 1)
             if pages_so_far is not None:
-                # J5: left join against existing url_ids — column-pruned scan
-                # of the pages table (url_id only); Iceberg identifier stats /
-                # bloom make this a metadata-cheap probe at scale
-                existing = pages_so_far.select("url_id").distinct().withColumn("_old", F.lit(True))
-                saved = saved.join(existing, "url_id", "left")
-            else:
-                saved = saved.withColumn("_old", F.lit(None).cast("boolean"))
-            saved = saved.cache()
-            with self._phase("pages_split"):
-                sv = {
-                    r["old"]: r["count"]
-                    for r in saved.groupBy(F.col("_old").isNotNull().alias("old")).count().collect()
-                }
-            new_n, upd_n = sv.get(False, 0), sv.get(True, 0)
-            if new_n + upd_n:
-                with self._phase("pages_write"):
-                    self.wh.append_delta("pages", round_no, saved.drop("_old"))
-            saved.unpersist()
-            return {"NEW_SAVED_PAGES": new_n, "UPDATED_PAGES": upd_n, "SAVED_PAGES": new_n + upd_n}
+                with self._phase("pages_split"):
+                    fresh_ids = self.wh.read_delta("pages", round_no).select("url_id")
+                    upd_n = (
+                        pages_so_far.select("url_id")
+                        .join(F.broadcast(fresh_ids), "url_id", "left_semi")
+                        .distinct()
+                        .count()
+                    )
+            new_n = saved_n - upd_n
+            return {"NEW_SAVED_PAGES": new_n, "UPDATED_PAGES": upd_n, "SAVED_PAGES": saved_n}
 
         def dq_order_chain() -> dict[str, int]:
             # dequeue-order lineage (golden-comparable): distributed
-            # contiguous D2 rank, all-JVM (frontier.dequeue_order_index)
+            # contiguous D2 rank, all-JVM (frontier.dequeue_order_index).
+            # Large-k rounds reuse the planner's bucket offsets — no
+            # histogram job (prefix_len must match the threshold walk's 3).
             with self._phase("dq_order"):
                 self.wh.append_delta(
-                    "dequeue_order", round_no, FR.dequeue_order_index(dq, round_no)
+                    "dequeue_order",
+                    round_no,
+                    FR.dequeue_order_index(
+                        dq,
+                        round_no,
+                        prefix_len=3 if dq_offsets is not None else 2,
+                        offsets=dq_offsets,
+                    ),
                 )
             return {}
 
@@ -384,6 +400,10 @@ class Crawler:
         with self._phase("commit"):
             self._append_metrics(round_no, stats)
             self.wh.commit_round(round_no, {"dequeued": stats.dequeued, **stats.counters})
+            # the per-round fetch artifact (full span payloads) is consumed
+            # only within its round — spans persist in pages/errors; without
+            # this the warehouse grows O(k × page bytes) every round
+            self.wh.drop_delta("fetch", round_no)
         for c in (dq, retagged, eligible):
             c.unpersist()
         return stats

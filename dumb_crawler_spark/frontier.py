@@ -285,13 +285,135 @@ def apply_host_cap(
 
 def topk_from_eligible(eligible: DataFrame, k: int | None) -> DataFrame:
     """Stage 2 of A1: exact global top-K in D2 order over the capped set."""
+    return topk_with_offsets(eligible, k)[0]
+
+
+def topk_with_offsets(
+    eligible: DataFrame, k: int | None, hist: list[tuple] | None = None, prefix_len: int = 3
+) -> tuple[DataFrame, list[tuple] | None]:
+    """topk_from_eligible + the threshold walk's bucket-offset table
+    (priority, attempt, url_id-prefix, global D2 offset) when the large-k
+    plan ran — dequeue_order_index reuses it instead of re-collecting its
+    own histogram (one driver round-trip per round saved). ``hist`` lets the
+    caller hand in a pre-collected (priority, attempt, prefix, count)
+    histogram (plan_dequeue's fused probe) so the threshold path launches
+    ZERO extra aggregation jobs."""
     if k is None:
-        return eligible.select(*DEQUEUE_COLS)
+        return eligible.select(*DEQUEUE_COLS), None
     if k <= _TOPK_THRESHOLD_CUTOFF:
         # TakeOrderedAndProject: per-partition heap top-k, k-row driver merge
         out = eligible.orderBy(F.desc("priority"), F.asc("attempt"), F.asc("url_id"))
-        return out.limit(k).select(*DEQUEUE_COLS)
-    return _dequeue_threshold(eligible, k).select(*DEQUEUE_COLS)
+        return out.limit(k).select(*DEQUEUE_COLS), None
+    df, offsets = _dequeue_threshold_ex(eligible, k, prefix_len, hist=hist)
+    return df.select(*DEQUEUE_COLS), offsets
+
+
+# driver-memory bound on the fused probe's collect: class histogram
+# (classes × 16^prefix_len) + over-budget hosts (≤ _OVER_HOST_INLINE_MAX);
+# hitting the limit falls back to the legacy two-job path.
+_PLAN_COLLECT_LIMIT = 500_000
+_OVER_HOST_INLINE_MAX = 10_000
+
+
+def plan_dequeue(
+    eligible: DataFrame,
+    cfg: CrawlConfig,
+    k: int | None,
+    host_budgets: DataFrame | None = None,
+    prefix_len: int = 3,
+) -> tuple[DataFrame, list[tuple] | None]:
+    """A1 round planner: ONE grouping-sets aggregation over the (cached)
+    eligible set yields BOTH driver-side inputs the round needs — the
+    over-budget host list (politeness probe) and the (priority, attempt,
+    url_id-prefix) class histogram (large-k threshold walk). The legacy path
+    ran these as two separate full passes; at 10^10 rows each pass is a full
+    frontier scan, and per-round driver round-trips are exactly the serial
+    fraction that caps N→4N scaling (BENCH.md).
+
+    Exactness with a binding cap: the raw histogram counts rows the per-host
+    cap will remove, so a second SMALL job aggregates the beyond-cap rows of
+    just the over-budget hosts (the skewed few) and the driver subtracts —
+    capped_hist = raw_hist − beyond_hist. No full-eligible second pass ever.
+
+    Returns (dq plan, bucket-offset table | None) — see topk_with_offsets.
+    """
+    budget = cfg.politeness.budget_per_host_per_round
+    need_hosts = budget is not None or host_budgets is not None
+    need_hist = k is not None and k > _TOPK_THRESHOLD_CUTOFF
+    if not need_hosts:
+        return topk_with_offsets(eligible, k, prefix_len=prefix_len)
+
+    pre = F.substring("url_id", 1, prefix_len)
+    proj = eligible.select("host", "priority", "attempt", pre.alias("_p"))
+    if need_hist:
+        # grouping_id: 7 = host slice (priority/attempt/_p aggregated away),
+        # 8 = class slice (host aggregated away) — probed constants, pinned
+        # by test_dequeue_threshold.
+        agg = proj.groupingSets(
+            [["host"], ["priority", "attempt", "_p"]], "host", "priority", "attempt", "_p"
+        ).agg(F.count(F.lit(1)).alias("_n"), F.grouping_id().alias("_gid"))
+        host_slice = F.col("_gid") == 7
+    else:
+        agg = proj.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+        agg = agg.withColumn("_gid", F.lit(7))
+        host_slice = F.lit(True)
+    if host_budgets is not None:
+        agg = agg.join(F.broadcast(host_budgets), "host", "left")
+    # host rows are pre-filtered to the over-budget few BEFORE collect —
+    # same bail-out contract as over_budget_hosts
+    agg = agg.where(~host_slice | (F.col("_n") > _host_cap_expr(cfg, host_budgets)))
+    rows = agg.limit(_PLAN_COLLECT_LIMIT).collect()
+
+    over_rows = [r for r in rows if r["_gid"] == 7]
+    hist = [(r["priority"], r["attempt"], r["_p"], r["_n"]) for r in rows if r["_gid"] == 8]
+    if len(rows) >= _PLAN_COLLECT_LIMIT or len(over_rows) > _OVER_HOST_INLINE_MAX:
+        # degenerate config (budget ≪ typical host size): broadcast-join cap
+        # for every host, threshold walk collects its own capped histogram
+        capped = apply_host_cap(eligible, cfg, None, host_budgets)
+        return topk_with_offsets(capped, k, prefix_len=prefix_len)
+    over_hosts = [r["host"] for r in over_rows]
+    if not over_hosts:
+        return topk_with_offsets(
+            eligible, k, hist=hist if need_hist else None, prefix_len=prefix_len
+        )
+    capped, beyond = host_cap_split(eligible, cfg, over_hosts, host_budgets)
+    if not need_hist:
+        return topk_with_offsets(capped, k, prefix_len=prefix_len)
+    removed = beyond.groupBy("priority", "attempt", pre.alias("_p")).count().collect()
+    cells = {(p, a, pfx): n for p, a, pfx, n in hist}
+    for r in removed:
+        key = (r["priority"], r["attempt"], r["_p"])
+        cells[key] -= r["count"]
+        assert cells[key] >= 0, f"capped histogram underflow at {key}"
+    capped_hist = [(p, a, pfx, n) for (p, a, pfx), n in cells.items() if n > 0]
+    return topk_with_offsets(capped, k, hist=capped_hist, prefix_len=prefix_len)
+
+
+def host_cap_split(
+    eligible: DataFrame,
+    cfg: CrawlConfig,
+    over_hosts: list[str],
+    host_budgets: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(capped, beyond): rank the over-budget hosts' rows once; ``capped`` is
+    the politeness-capped eligible set (under-budget hosts pass wholesale,
+    zero shuffle of their rows), ``beyond`` the rows the cap removed (the
+    planner's histogram correction). Same semantics as apply_host_cap —
+    equivalence pinned by tests."""
+    in_over = F.col("host").isin(over_hosts)
+    under = eligible.where(~in_over | F.col("host").isNull())
+    over = eligible.where(in_over)
+    if host_budgets is not None:
+        over = over.join(F.broadcast(host_budgets), "host", "left")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("attempt"), F.asc("url_id")
+    )
+    ranked = over.withColumn("_hr", F.row_number().over(w))
+    cap = _host_cap_expr(cfg, host_budgets)
+    drop_cols = ["_hr"] + (["host_budget"] if host_budgets is not None else [])
+    kept = ranked.where(F.col("_hr") <= cap).drop(*drop_cols)
+    beyond = ranked.where(F.col("_hr") > cap).drop(*drop_cols)
+    return under.unionByName(kept), beyond
 
 
 def _cap_per_host(eligible: DataFrame, cap: Column) -> DataFrame:
@@ -335,31 +457,54 @@ _TOPK_THRESHOLD_CUTOFF = 10_000
 
 
 def _dequeue_threshold(eligible: DataFrame, k: int, prefix_len: int = 3) -> DataFrame:
+    return _dequeue_threshold_ex(eligible, k, prefix_len)[0]
+
+
+def _dequeue_threshold_ex(
+    eligible: DataFrame, k: int, prefix_len: int = 3, hist: list[tuple] | None = None
+) -> tuple[DataFrame, list[tuple]]:
     """Exact large-k top-K without a global sort — ONE histogram pass.
 
     Priorities are small ints (tag scores), so the joint
     (priority, attempt, url_id-prefix) histogram is tiny (classes × 16^len
-    for hex ids): collect it once, walk it in D2 order until the cumulative
-    count reaches k. Whole classes above the boundary are taken wholesale;
-    within the single boundary class whole PREFIX buckets below the cut are
-    taken (prefix truncation preserves lexicographic order, and buckets are
-    consumed ascending — so the filter is a RANGE comparison
-    ``prefix < cut``, one string compare per row, never a giant INSET);
-    only the boundary bucket itself is topped-off with a small TakeOrdered.
-    At 10^10 rows this replaces a k×P-row single-task merge with one
-    aggregation + one cheap filter, and the degenerate uniform-priority
-    frontier (boundary class = everything) costs the same as the easy case.
+    for hex ids): collect it once (or take it pre-collected via ``hist``),
+    walk it in D2 order until the cumulative count reaches k. Whole classes
+    above the boundary are taken wholesale; within the single boundary class
+    whole PREFIX buckets below the cut are taken (prefix truncation preserves
+    lexicographic order, and buckets are consumed ascending — so the filter
+    is a RANGE comparison ``prefix < cut``, one string compare per row, never
+    a giant INSET); only the boundary bucket itself is topped-off with a
+    small TakeOrdered. At 10^10 rows this replaces a k×P-row single-task
+    merge with one aggregation + one cheap filter, and the degenerate
+    uniform-priority frontier (boundary class = everything) costs the same
+    as the easy case.
+
+    Also returns the walk's bucket-offset table [(priority, attempt, prefix,
+    global_offset)] — every bucket the dequeue touches, in D2 order. Within
+    any bucket the taken rows are exactly the smallest url_ids (whole bucket,
+    or the TakeOrdered/recursive edge), so (offset + within-bucket url_id
+    rank) IS the contiguous global D2 rank: dequeue_order_index consumes
+    these offsets with no second histogram job.
     """
     pre = F.substring("url_id", 1, prefix_len)
-    hist = eligible.groupBy("priority", "attempt", pre.alias("_p")).count().collect()
+    if hist is None:
+        hist = [
+            (r["priority"], r["attempt"], r["_p"], r["count"])
+            for r in eligible.groupBy("priority", "attempt", pre.alias("_p")).count().collect()
+        ]
     classes: dict[tuple, list] = {}
-    for r in hist:
-        classes.setdefault((r["priority"], r["attempt"]), []).append((r["_p"], r["count"]))
+    for p, a, pfx, n in hist:
+        classes.setdefault((p, a), []).append((pfx, n))
+    offsets: list[tuple] = []  # (priority, attempt, prefix, global D2 offset)
+    acc = 0
     taken_classes, boundary, remaining = [], None, k
     for cls_key in sorted(classes, key=lambda c: (-c[0], c[1])):
         n = sum(c for _, c in classes[cls_key])
         if n <= remaining:
             taken_classes.append(cls_key)
+            for pfx, cn in sorted(classes[cls_key]):
+                offsets.append((cls_key[0], cls_key[1], pfx, acc))
+                acc += cn
             remaining -= n
             if remaining == 0:
                 break
@@ -376,13 +521,19 @@ def _dequeue_threshold(eligible: DataFrame, k: int, prefix_len: int = 3) -> Data
         cut_prefix = None
         for prefix, n in sorted(classes[boundary]):
             if n <= remaining:
+                offsets.append((p, a, prefix, acc))
+                acc += n
                 remaining -= n
                 cut_prefix = prefix  # whole buckets ≤ cut taken via range filter
                 if remaining == 0:
                     break
             else:
                 # partial boundary bucket: range-take everything below it,
-                # TakeOrdered the remainder inside it
+                # TakeOrdered the remainder inside it (the remainder = the
+                # bucket's `remaining` SMALLEST url_ids, so the parent-level
+                # bucket offset stays rank-exact)
+                offsets.append((p, a, prefix, acc))
+                acc += remaining
                 edge = (
                     cls.where(pre == prefix).orderBy(F.asc("url_id")).limit(remaining)
                     if remaining <= _TOPK_THRESHOLD_CUTOFF
@@ -393,13 +544,15 @@ def _dequeue_threshold(eligible: DataFrame, k: int, prefix_len: int = 3) -> Data
                 out = out.unionByName(edge)
                 remaining = 0
                 if cut_prefix is None:
-                    return out
+                    return out, offsets
                 break
         out = out.unionByName(cls.where(pre <= cut_prefix)) if cut_prefix else out
-    return out
+    return out, offsets
 
 
-def dequeue_order_index(dq: DataFrame, round_no: int, prefix_len: int = 2) -> DataFrame:
+def dequeue_order_index(
+    dq: DataFrame, round_no: int, prefix_len: int = 2, offsets: list[tuple] | None = None
+) -> DataFrame:
     """(round, seq, url_id) lineage rows: seq = contiguous 0-based global
     rank of the dequeued batch in D2 order (priority DESC, attempt ASC,
     url_id ASC) — golden-comparable against the oracle's enumerate().
@@ -408,18 +561,21 @@ def dequeue_order_index(dq: DataFrame, round_no: int, prefix_len: int = 2) -> Da
     window, or an RDD zipWithIndex (which round-trips every row through
     Python): bucket rows by (priority, attempt, url_id-prefix) — prefix
     truncation preserves lexicographic order, so concatenating buckets in
-    D2-bucket order IS the global order. One tiny groupBy().count() collect
-    yields each bucket's global offset; a per-bucket row_number window
-    (parallel across buckets, k-row shuffle at most) finishes the rank.
+    D2-bucket order IS the global order. Each bucket's global offset comes
+    either from the large-k threshold walk (``offsets``, zero extra jobs —
+    ``prefix_len`` must then match the walk's) or from one tiny
+    groupBy().count() collect; a per-bucket row_number window (parallel
+    across buckets, k-row shuffle at most) finishes the rank.
     All JVM/codegen — zero Python in the loop."""
     pre = F.substring("url_id", 1, prefix_len)
     b = dq.select("priority", "attempt", pre.alias("_pre"), "url_id")
-    counts = b.groupBy("priority", "attempt", "_pre").count().collect()
-    counts.sort(key=lambda r: (-r["priority"], r["attempt"], r["_pre"]))
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r["priority"], r["attempt"], r["_pre"], acc))
-        acc += r["count"]
+    if offsets is None:
+        counts = b.groupBy("priority", "attempt", "_pre").count().collect()
+        counts.sort(key=lambda r: (-r["priority"], r["attempt"], r["_pre"]))
+        offsets, acc = [], 0
+        for r in counts:
+            offsets.append((r["priority"], r["attempt"], r["_pre"], acc))
+            acc += r["count"]
     odf = F.broadcast(
         b.sparkSession.createDataFrame(
             offsets, "priority int, attempt int, _pre string, _off long"
@@ -563,16 +719,6 @@ def apply_round_updates(
 # is a plain union + one broadcast join — no per-read aggregation, no
 # last-wins window. Periodic compaction (Crawler.compact_every) rewrites the
 # reconciled snapshot and resets the delta window.
-
-UPDATE_SCHEMA = T.StructType([
-    T.StructField("url_id", T.StringType(), False),
-    T.StructField("status", T.ByteType(), False),
-    T.StructField("tags", T.ArrayType(T.StringType()), True),
-    T.StructField("error", T.StringType(), True),
-    T.StructField("done", T.BooleanType(), False),
-    T.StructField("round", T.IntegerType(), False),
-])
-
 
 def round_update_delta(dequeued: DataFrame, results: DataFrame, round_no: int) -> DataFrame:
     """The k-bounded status-transition delta of one round (C3 + the

@@ -25,8 +25,13 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    # SPARK_GRAFT_MASTER overrides the thread-mode master — e.g.
+    # "local-cluster[8,2,6144]" runs 8 SEPARATE executor JVMs × 2 cores
+    # (own heap, GC, python workers), the closest single-box analog of the
+    # north rule's N-vs-4N executor-cluster ladder (scripts/scaling_report.py)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -35,6 +40,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # only meaningful under local-cluster masters (ignored by local[N],
+        # where executor == driver); must fit inside the worker memory slice
+        # given in the master spec
+        .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # HotSpot refuses to JIT methods over 8 KB of bytecode

@@ -39,32 +39,74 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
-class Warehouse:
-    """One crawl session's tables + round lineage under a root directory."""
+def _footer_rows(parquet_dir: Path) -> int:
+    """Row count from parquet footer metadata — no Spark job, no data read."""
+    import pyarrow.parquet as pq
 
-    def __init__(self, spark: SparkSession, root: str | Path):
+    return sum(
+        pq.read_metadata(f).num_rows for f in parquet_dir.glob("*.parquet")
+    )
+
+
+class Warehouse:
+    """One crawl session's tables + round lineage under a root directory.
+
+    ``max_records_per_file`` is the S8 file-rotation analog
+    (WarcStorageManager.java:91-147 rotates WARC output at 50 MB): every
+    parquet write is bounded via the DataFrameWriter ``maxRecordsPerFile``
+    option, the local stand-in for Iceberg's ``write.target-file-size-bytes``.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str | Path, max_records_per_file: int | None = None
+    ):
         self.spark = spark
         self.root = Path(root)
+        self.max_records_per_file = max_records_per_file
         (self.root / "_commits").mkdir(parents=True, exist_ok=True)
 
     # -- atomic writes -------------------------------------------------------
-    def _atomic_write(self, df: DataFrame, dest: Path) -> None:
+    def _atomic_write(self, df: DataFrame, dest: Path, keep_empty: bool = True) -> int:
+        """Write-to-temp + atomic rename; returns the row count read back
+        from the parquet FOOTERS (driver-side metadata, microseconds) so
+        callers never launch a count job over data they just wrote. With
+        ``keep_empty=False`` a zero-row result leaves NO directory — readers
+        that glob delta dirs then never see schema-only or file-less dirs."""
         tmp = dest.parent / f".tmp-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(str(tmp))
+        w = df.write.mode("overwrite")
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(self.max_records_per_file))
+        w.parquet(str(tmp))
+        n = _footer_rows(tmp)
+        if n == 0 and not keep_empty:
+            shutil.rmtree(tmp)
+            return 0
         if dest.exists():
             shutil.rmtree(dest)
         tmp.rename(dest)
+        return n
 
     # -- full-state tables (frontier) -----------------------------------------
-    def write_snapshot(self, table: str, round_no: int, df: DataFrame) -> None:
-        self._atomic_write(df, self.root / table / f"snap-{round_no:08d}")
+    def write_snapshot(self, table: str, round_no: int, df: DataFrame) -> int:
+        return self._atomic_write(df, self.root / table / f"snap-{round_no:08d}")
 
     def read_snapshot(self, table: str, round_no: int) -> DataFrame:
         return self.spark.read.parquet(str(self.root / table / f"snap-{round_no:08d}"))
 
     # -- append-only tables ----------------------------------------------------
-    def append_delta(self, table: str, round_no: int, df: DataFrame) -> None:
-        self._atomic_write(df, self.root / table / f"delta-{round_no:08d}")
+    def append_delta(
+        self, table: str, round_no: int, df: DataFrame, keep_empty: bool = True
+    ) -> int:
+        return self._atomic_write(
+            df, self.root / table / f"delta-{round_no:08d}", keep_empty=keep_empty
+        )
+
+    def drop_delta(self, table: str, round_no: int) -> None:
+        """Reclaim a per-round scratch artifact (the `fetch` table: consumed
+        only within its round — spans live on in pages/errors)."""
+        d = self.root / table / f"delta-{round_no:08d}"
+        if d.exists():
+            shutil.rmtree(d)
 
     def append_delta_rows(self, table: str, round_no: int, arrow_table) -> None:
         """Driver-side parquet write for TINY deltas (a few counter rows per
@@ -167,20 +209,20 @@ class Warehouse:
 
         return base, deltas("ins"), deltas("upd")
 
-    def write_frontier_updates(self, round_no: int, df: DataFrame) -> None:
-        self._atomic_write(df, self.root / "frontier" / f"upd-{round_no:08d}")
+    def write_frontier_updates(self, round_no: int, df: DataFrame) -> int:
+        return self._atomic_write(df, self.root / "frontier" / f"upd-{round_no:08d}")
 
-    def write_frontier_inserts(self, round_no: int, df: DataFrame) -> None:
-        self._atomic_write(df, self.root / "frontier" / f"ins-{round_no:08d}")
+    def write_frontier_inserts(self, round_no: int, df: DataFrame) -> int:
+        """Zero-insert rounds leave no ins- dir at all (keep_empty=False):
+        _frontier_pieces globs only existing dirs, so readers never depend on
+        Spark writing schema-only files for empty results."""
+        return self._atomic_write(
+            df, self.root / "frontier" / f"ins-{round_no:08d}", keep_empty=False
+        )
 
-    def read_frontier_inserts(self, round_no: int) -> DataFrame:
-        return self.spark.read.parquet(str(self.root / "frontier" / f"ins-{round_no:08d}"))
-
-    def frontier_delta_rows(self, round_no: int) -> int:
-        """Parquet-footer row count of the delta window (compaction trigger);
-        metadata-only."""
-        _, ins, upd = self._frontier_pieces(round_no)
-        return sum(df.count() for df in (ins, upd) if df is not None)
+    def read_frontier_inserts(self, round_no: int) -> DataFrame | None:
+        d = self.root / "frontier" / f"ins-{round_no:08d}"
+        return self.spark.read.parquet(str(d)) if d.exists() else None
 
     # -- convenience -----------------------------------------------------------
     def read_frontier(self, round_no: int | None = None) -> DataFrame:
