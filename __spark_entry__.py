@@ -9,8 +9,12 @@ Frontier-shaped queries treat `events` as a frontier analog
 split) are identical to frontier.py's, which the golden pytest suite verifies
 against the reference semantics oracle.
 
-Non-SQL-expressible entries (full crawl rounds, MinHash/SimHash LSH, Arrow
-UDF feature extraction) have no oracle_sql() twin → driver records rows-only.
+Non-SQL-expressible entries (full crawl rounds, MinHash/SimHash signatures —
+they depend on Spark's xxhash64 — IVF assignment, Arrow UDF feature
+extraction) have no oracle_sql() twin → driver records rows-only.
+dedup_ngram_jaccard IS oracle-checked (round 2): shingle-set Jaccard is plain
+set algebra, reproduced quadratically in DuckDB with integer (shared,
+union_n) columns so no float rounding can perturb the value hash.
 """
 
 from __future__ import annotations
@@ -297,7 +301,12 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5)
+    # integer (shared, union_n) columns instead of the float jaccard: the
+    # pair set + counts are exactly reproducible in the DuckDB oracle
+    # (shingle sets are plain set algebra — no Spark-specific hashing)
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.5, with_counts=True
+    ).select("a", "b", "shared", "union_n")
 
 
 def q_sim_ann_ivf(spark, sf):
@@ -411,10 +420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "extract_links": q_extract_links,
         "robots_filter": q_robots_filter,
-        # rows-only (no oracle_sql)
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # rows-only (no oracle_sql — signatures depend on Spark's xxhash64)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "crawl_flagship": q_crawl_flagship,
@@ -541,6 +550,26 @@ def oracle_sql() -> dict[str, str]:
                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ) GROUP BY user_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+            ), s AS (
+              SELECT doc_id,
+                list_distinct(
+                  CASE WHEN len(toks) >= 3
+                    THEN [array_to_string(toks[i:i+2], ' ')
+                          for i in generate_series(1, len(toks) - 2)]
+                    ELSE [array_to_string(toks, ' ')] END
+                ) AS sh
+              FROM t
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   len(list_intersect(a.sh, b.sh))::BIGINT AS shared,
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS union_n
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,

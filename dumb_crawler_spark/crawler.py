@@ -165,28 +165,37 @@ class Crawler:
         eligible = FR.eligible_raw(frq, cfg).cache()
         with self._phase("dequeue_plan"):
             # ONE grouping-sets job (frontier.plan_dequeue) materializes the
-            # cache AND yields both the over-budget host list and the top-K
-            # class histogram; the legacy path paid two full eligible passes.
-            # dq_offsets feed the lineage rank so dq_order launches no
-            # histogram job of its own.
-            dq_plan, dq_offsets = FR.plan_dequeue(eligible, cfg, k, self._host_budgets)
+            # cache AND yields the over-budget host list, the top-K class
+            # histogram, the lineage bucket offsets (dq_order launches no
+            # histogram job) and the EXACT planned dequeue count; the legacy
+            # path paid two full eligible passes plus a count job.
+            dq_plan, dq_offsets, planned_n = FR.plan_dequeue(eligible, cfg, k, self._host_budgets)
             dq = dq_plan.cache()
 
         # T4 re-tag + re-filter; disallowed rows leak as PROCESSING (reference
         # marks taken before filtering, URLStore.java:191-206 + DumbCrawler.java:275-279).
-        # One job materializes dq+retagged AND yields dequeued/allowed counts.
-        retagged = FR.retag_dequeued(dq, cfg).cache()
-        allowed = retagged.where(F.col("_allowed")).drop("_allowed")
-        with self._phase("dequeue"):
-            verdicts = {r["_allowed"]: r["n"] for r in retagged.groupBy("_allowed").agg(F.count("*").alias("n")).collect()}
-        stats.dequeued = verdicts.get(True, 0) + verdicts.get(False, 0)
+        retagged = None
+        if planned_n is not None:
+            # threshold path: dequeued count is known from the plan walk; the
+            # ALLOWED/IGNORED split falls out of the fetch artifact's footer
+            # row count below — no count job over the batch at all
+            stats.dequeued = planned_n
+            allowed = FR.retag_dequeued(dq, cfg).where(F.col("_allowed")).drop("_allowed")
+        else:
+            # small-k path: one job materializes dq+retagged AND yields counts
+            retagged = FR.retag_dequeued(dq, cfg).cache()
+            allowed = retagged.where(F.col("_allowed")).drop("_allowed")
+            with self._phase("dequeue"):
+                verdicts = {r["_allowed"]: r["n"] for r in retagged.groupBy("_allowed").agg(F.count("*").alias("n")).collect()}
+            stats.dequeued = verdicts.get(True, 0) + verdicts.get(False, 0)
         if stats.dequeued == 0:
-            dq.unpersist()
-            retagged.unpersist()
-            eligible.unpersist()
+            for c in (dq, retagged, eligible):
+                if c is not None:
+                    c.unpersist()
             return stats
-        stats.add("ALLOWED_LINKS", verdicts.get(True, 0))
-        stats.add("IGNORED_LINKS", verdicts.get(False, 0))
+        if planned_n is None:
+            stats.add("ALLOWED_LINKS", verdicts.get(True, 0))
+            stats.add("IGNORED_LINKS", verdicts.get(False, 0))
 
         # J4 + F5/F6 + L2 link extraction, materialized as a per-round parquet
         # artifact (`fetch` table) instead of an executor-heap cache: the rows
@@ -197,7 +206,7 @@ class Crawler:
         with self._phase("fetch_write"):
             from .extract import BASE_PART_COLS, extract_links_with_base, with_base_parts
 
-            self.wh.append_delta(
+            allowed_n = self.wh.append_delta(
                 "fetch",
                 round_no,
                 with_base_parts(fetch_simulate(allowed, self.docs, cfg))
@@ -205,6 +214,11 @@ class Crawler:
                 .withColumn("n_links", F.size("links"))
                 .drop(*BASE_PART_COLS),
             )
+        if planned_n is not None:
+            # fetch_simulate emits exactly one row per allowed input row, so
+            # the artifact's footer count IS the T4-allowed count
+            stats.add("ALLOWED_LINKS", allowed_n)
+            stats.add("IGNORED_LINKS", planned_n - allowed_n)
         fetched = self.wh.read_delta("fetch", round_no)
         ok_rows = fetched.where(F.col("ok"))
 
@@ -405,7 +419,8 @@ class Crawler:
             # this the warehouse grows O(k × page bytes) every round
             self.wh.drop_delta("fetch", round_no)
         for c in (dq, retagged, eligible):
-            c.unpersist()
+            if c is not None:
+                c.unpersist()
         return stats
 
     def _append_metrics(self, round_no: int, stats: RoundStats) -> None:
@@ -439,16 +454,26 @@ class Crawler:
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         rnd = start
         rounds_without_new_pages = 0
+        t_start = time.time()
         while limit is None or rnd - start < limit:
             rnd += 1
             stats = self.run_round(rnd)
             self.history.append(stats)
             if verbose:
                 # C8 stats printer analog (DumbCrawler.java:196-231): one
-                # structured line per round instead of a 60s wall-clock timer
+                # structured line per round instead of a 60s wall-clock timer,
+                # carrying the reference's uptime + JVM heap readings
                 import json as _json
 
-                print(_json.dumps({"round": rnd, "dequeued": stats.dequeued, **stats.counters}))
+                rt = self.spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                print(_json.dumps({
+                    "round": rnd,
+                    "dequeued": stats.dequeued,
+                    **stats.counters,
+                    "uptime_s": round(time.time() - t_start, 1),
+                    "jvm_used_mb": int((rt.totalMemory() - rt.freeMemory()) / 1048576),
+                    "jvm_max_mb": int(rt.maxMemory() / 1048576),
+                }))
             if stats.dequeued == 0:  # C6 empty-frontier stop
                 self.wh.write_terminated({"round": rnd, "reason": "frontier_empty"})
                 break

@@ -290,22 +290,23 @@ def topk_from_eligible(eligible: DataFrame, k: int | None) -> DataFrame:
 
 def topk_with_offsets(
     eligible: DataFrame, k: int | None, hist: list[tuple] | None = None, prefix_len: int = 3
-) -> tuple[DataFrame, list[tuple] | None]:
-    """topk_from_eligible + the threshold walk's bucket-offset table
-    (priority, attempt, url_id-prefix, global D2 offset) when the large-k
-    plan ran — dequeue_order_index reuses it instead of re-collecting its
-    own histogram (one driver round-trip per round saved). ``hist`` lets the
-    caller hand in a pre-collected (priority, attempt, prefix, count)
-    histogram (plan_dequeue's fused probe) so the threshold path launches
-    ZERO extra aggregation jobs."""
+) -> tuple[DataFrame, list[tuple] | None, int | None]:
+    """topk_from_eligible + (threshold path only) the walk's bucket-offset
+    table (priority, attempt, url_id-prefix, global D2 offset) and the EXACT
+    planned row count. dequeue_order_index reuses the offsets instead of
+    re-collecting its own histogram, and the crawler uses the count instead
+    of launching a count job over the dequeued batch (two driver round-trips
+    per round saved). ``hist`` lets the caller hand in a pre-collected
+    (priority, attempt, prefix, count) histogram (plan_dequeue's fused
+    probe) so the threshold path launches ZERO extra aggregation jobs."""
     if k is None:
-        return eligible.select(*DEQUEUE_COLS), None
+        return eligible.select(*DEQUEUE_COLS), None, None
     if k <= _TOPK_THRESHOLD_CUTOFF:
         # TakeOrderedAndProject: per-partition heap top-k, k-row driver merge
         out = eligible.orderBy(F.desc("priority"), F.asc("attempt"), F.asc("url_id"))
-        return out.limit(k).select(*DEQUEUE_COLS), None
-    df, offsets = _dequeue_threshold_ex(eligible, k, prefix_len, hist=hist)
-    return df.select(*DEQUEUE_COLS), offsets
+        return out.limit(k).select(*DEQUEUE_COLS), None, None
+    df, offsets, taken = _dequeue_threshold_ex(eligible, k, prefix_len, hist=hist)
+    return df.select(*DEQUEUE_COLS), offsets, taken
 
 
 # driver-memory bound on the fused probe's collect: class histogram
@@ -321,7 +322,7 @@ def plan_dequeue(
     k: int | None,
     host_budgets: DataFrame | None = None,
     prefix_len: int = 3,
-) -> tuple[DataFrame, list[tuple] | None]:
+) -> tuple[DataFrame, list[tuple] | None, int | None]:
     """A1 round planner: ONE grouping-sets aggregation over the (cached)
     eligible set yields BOTH driver-side inputs the round needs — the
     over-budget host list (politeness probe) and the (priority, attempt,
@@ -335,7 +336,8 @@ def plan_dequeue(
     just the over-budget hosts (the skewed few) and the driver subtracts —
     capped_hist = raw_hist − beyond_hist. No full-eligible second pass ever.
 
-    Returns (dq plan, bucket-offset table | None) — see topk_with_offsets.
+    Returns (dq plan, bucket-offset table | None, exact planned row count |
+    None) — see topk_with_offsets.
     """
     budget = cfg.politeness.budget_per_host_per_round
     need_hosts = budget is not None or host_budgets is not None
@@ -462,7 +464,7 @@ def _dequeue_threshold(eligible: DataFrame, k: int, prefix_len: int = 3) -> Data
 
 def _dequeue_threshold_ex(
     eligible: DataFrame, k: int, prefix_len: int = 3, hist: list[tuple] | None = None
-) -> tuple[DataFrame, list[tuple]]:
+) -> tuple[DataFrame, list[tuple], int]:
     """Exact large-k top-K without a global sort — ONE histogram pass.
 
     Priorities are small ints (tag scores), so the joint
@@ -544,10 +546,12 @@ def _dequeue_threshold_ex(
                 out = out.unionByName(edge)
                 remaining = 0
                 if cut_prefix is None:
-                    return out, offsets
+                    return out, offsets, k
                 break
         out = out.unionByName(cls.where(pre <= cut_prefix)) if cut_prefix else out
-    return out, offsets
+    # k - remaining = EXACT rows the plan selects (remaining > 0 only when
+    # the eligible set ran dry below k)
+    return out, offsets, k - remaining
 
 
 def dequeue_order_index(

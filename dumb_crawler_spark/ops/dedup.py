@@ -178,6 +178,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k_shingle: int = 3,
+    with_counts: bool = False,
 ) -> DataFrame:
     """EXACT shingle-Jaccard pairs ≥ threshold via prefix filtering (the
     PPJoin family's candidate pruning, kept to its Spark-friendly core):
@@ -223,16 +224,17 @@ def ngram_jaccard_pairs(
     )
     left = base.select(F.col("id").alias("a"), F.col("sh").alias("_sha"), F.col("n").alias("na"))
     right = base.select(F.col("id").alias("b"), F.col("sh").alias("_shb"), F.col("n").alias("nb"))
+    out_cols = ["a", "b", "jaccard"] + (["shared", "union_n"] if with_counts else [])
     return (
         cands.join(left, "a")
         .join(right, "b")
-        .withColumn("shared", F.size(F.array_intersect("_sha", "_shb")))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        .withColumn("shared", F.size(F.array_intersect("_sha", "_shb")).cast("long"))
+        .withColumn("union_n", (F.col("na") + F.col("nb") - F.col("shared")).cast("long"))
+        # filter on the UNROUNDED ratio (exact IEEE division both here and in
+        # the DuckDB oracle); round only the reported value
+        .where(F.col("shared") / F.col("union_n") >= threshold)
+        .withColumn("jaccard", F.round(F.col("shared") / F.col("union_n"), 4))
+        .select(*out_cols)
     )
 
 

@@ -106,3 +106,130 @@ def stream_event_metrics(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+POLITENESS_OUT_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("url", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("admitted", T.BooleanType()),
+])
+
+POLITENESS_STATE_SCHEMA = T.StructType([
+    T.StructField("window_start", T.LongType()),  # epoch seconds of the window
+    T.StructField("used", T.LongType()),          # admissions consumed in it
+])
+
+
+def politeness_gate(
+    urls: DataFrame,
+    budget_per_host: int,
+    window_seconds: int = 60,
+    host_col: str = "host",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-host
+    event-time politeness budget across micro-batches.
+
+    The batch engine enforces politeness per round with a window rank
+    (frontier.apply_host_cap); a continuous pipeline has no rounds, so the
+    cap must be carried as STATE keyed by host: each host's group state
+    holds (current event-time window, admissions used). A batch of candidate
+    URLs for a host admits at most ``budget_per_host − used`` rows per
+    ``window_seconds`` event-time window, in (ts, url) order — crossing into
+    a newer window resets the count (the token-bucket refill). Rows beyond
+    the budget are emitted with ``admitted = false`` (a production pipeline
+    would loop them back into the frontier; emitting keeps the operator
+    side-effect-free and testable).
+
+    Vectorized end-to-end: one pandas frame per (host, micro-batch) group —
+    no per-row Python (input_hint discipline). State is O(16 bytes) per
+    host, evicted via EventTimeTimeout once the WATERMARK passes two windows
+    beyond the host's last activity — deterministic (processing-time TTLs
+    would silently drop budgets between micro-batches of a resumed query).
+
+    Works on a streaming DataFrame (groupBy(host).applyInPandasWithState);
+    the reference's analog is the blocking per-host delay in its fetch pool
+    (politeness budget, SURVEY.md north-rule addition).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gate(key, pdf_iter, state):
+        (host,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        win0, used = state.get if state.exists else (-1, 0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col, "url"], kind="mergesort")
+            epoch = pdf[ts_col].astype("int64") // 10**9
+            w = ((epoch // window_seconds) * window_seconds).to_numpy()
+            # vectorized admission: rank within each event-time window, plus
+            # the carried-over count for the state's current window; rows
+            # from windows OLDER than the state are late → never admitted
+            rank = pd.Series(w).groupby(w).cumcount().to_numpy()
+            carry = np.where(w == win0, used, 0)
+            admitted = (w >= win0) & (rank + carry < budget_per_host)
+            yield pd.DataFrame({
+                "host": host,
+                "url": pdf["url"].to_numpy(),
+                "ts": pdf[ts_col].to_numpy(),
+                "admitted": admitted,
+            })
+            if len(w):
+                last = int(max(int(w.max()), win0))
+                n_last = int(admitted[w == last].sum())
+                used = n_last + (used if last == win0 else 0)
+                win0 = last
+        state.update((int(win0), int(used)))
+        # evict when the watermark passes 2 windows beyond this host's last
+        # one; clamp above the current watermark (a host fed only late rows
+        # must still get a valid timeout)
+        state.setTimeoutTimestamp(max(
+            (win0 + 2 * window_seconds) * 1000,
+            state.getCurrentWatermarkMs() + window_seconds * 1000,
+        ))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return urls.withWatermark(ts_col, f"{window_seconds} seconds").groupBy(
+        host_col
+    ).applyInPandasWithState(
+        gate,
+        outputStructType=POLITENESS_OUT_SCHEMA,
+        stateStructType=POLITENESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_politeness_gate(
+    spark: SparkSession,
+    incoming_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    budget_per_host: int,
+    window_seconds: int = 60,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """File-stream of (host, url, ts) candidates → stateful politeness gate
+    → parquet sink (a durable sink, so a RESTARTED query recovers both the
+    source offsets and the per-host group state from the checkpoint — the
+    budget carries across process lifetimes, not just micro-batches)."""
+    schema = T.StructType([
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    gated = politeness_gate(stream, budget_per_host, window_seconds)
+    writer = (
+        gated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

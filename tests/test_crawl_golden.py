@@ -107,3 +107,24 @@ def test_politeness_budget_parity(spark, tmp_path, web):
     assert got == oracle.dequeue_order
     assert {r["url_id"] for r in engine.wh.read_frontier().select("url_id").collect()} == oracle.seen_set()
     assert engine.metrics_total() == {k: v for k, v in oracle.counters.items() if v}
+
+
+def test_threshold_path_crawl_matches_oracle(spark, tmp_path, web, monkeypatch):
+    """Round-2 pin: with the threshold cutoff forced to 0 the WHOLE crawl
+    runs on the large-k planner path — plan-walk dequeued counts, footer-based
+    ALLOWED/IGNORED counters, offset-based lineage. Everything must still
+    match the oracle exactly (order, seen set, histogram, counters)."""
+    from dumb_crawler_spark import frontier as FR
+
+    monkeypatch.setattr(FR, "_TOPK_THRESHOLD_CUTOFF", 0)
+    docs, _ = web
+    cfg = canonical_config()
+    oracle, engine = _run_pair(spark, tmp_path, cfg, docs)
+    got = [
+        (r["round"], r["seq"], r["url_id"])
+        for r in engine.dequeue_order().orderBy("round", "seq").collect()
+    ]
+    assert got == oracle.dequeue_order
+    fr = engine.wh.read_frontier()
+    assert {r["url_id"] for r in fr.select("url_id").collect()} == oracle.seen_set()
+    assert engine.metrics_total() == {k: v for k, v in oracle.counters.items() if v}

@@ -173,3 +173,33 @@ def test_multimodal_plumbing(docs):
     # deterministic fake features: stable across invocations
     again = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
     assert all(again[str(i)] == feats[str(i)]["feature"] for i, _ in DOCS)
+
+
+def test_ngram_jaccard_matches_duckdb_oracle(spark):
+    """Spark prefix-filter join vs the quadratic DuckDB oracle SQL from
+    __spark_entry__ — exact pair + count parity (the driver's correctness
+    gate for dedup_ngram_jaccard runs this same comparison at sf0.01)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "completely different content with no overlap at all"),
+        (4, "The quick BROWN fox... jumps over the lazy dog!"),
+        (5, "tiny"),
+        (6, "tiny"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"], r["shared"], r["union_n"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, with_counts=True)
+        .select("a", "b", "shared", "union_n").collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = set(map(tuple, con.execute(E.oracle_sql()["dedup_ngram_jaccard"]).fetchall()))
+    # (1,4) normalize identically (7 shared shingles of 7); (5,6) are equal
+    # one-token docs; (1,2) differ by one word -> below 0.5 at k=3
+    assert got == want == {(1, 4, 7, 7), (5, 6, 1, 1)}

@@ -47,10 +47,11 @@ def test_plan_dequeue_matches_legacy_with_binding_cap(spark, monkeypatch):
     eligible = FR.eligible_raw(fr, cfg)
     for k in (60, 400, 1500):
         want = {r["url_id"] for r in _legacy(eligible, cfg, k).collect()}
-        dq, offsets = FR.plan_dequeue(eligible, cfg, k)
+        dq, offsets, planned_n = FR.plan_dequeue(eligible, cfg, k)
         got = {r["url_id"] for r in dq.collect()}
         assert got == want, f"k={k}"
         assert offsets is not None  # threshold path ran fused
+        assert planned_n == len(got)  # walk count is exact
 
 
 def test_plan_dequeue_offsets_give_exact_lineage(spark, monkeypatch):
@@ -62,7 +63,7 @@ def test_plan_dequeue_offsets_give_exact_lineage(spark, monkeypatch):
         max_attempt_count=5, politeness=Politeness(budget_per_host_per_round=35)
     )
     eligible = FR.eligible_raw(fr, cfg)
-    dq, offsets = FR.plan_dequeue(eligible, cfg, 700)
+    dq, offsets, planned_n = FR.plan_dequeue(eligible, cfg, 700)
     dq = dq.cache()
     try:
         via_offsets = {
@@ -74,7 +75,7 @@ def test_plan_dequeue_offsets_give_exact_lineage(spark, monkeypatch):
             for r in FR.dequeue_order_index(dq, 1, prefix_len=2).collect()
         }
         assert via_offsets == via_hist
-        assert len(via_offsets) == dq.count()
+        assert len(via_offsets) == dq.count() == planned_n
         assert {s for s, _ in via_offsets} == set(range(dq.count()))
     finally:
         dq.unpersist()
@@ -87,9 +88,9 @@ def test_plan_dequeue_no_budget_single_job(spark, monkeypatch):
     cfg = CrawlConfig(max_attempt_count=5)
     eligible = FR.eligible_raw(fr, cfg)
     want = {r["url_id"] for r in FR.topk_from_eligible(eligible, 300).collect()}
-    dq, offsets = FR.plan_dequeue(eligible, cfg, 300)
+    dq, offsets, planned_n = FR.plan_dequeue(eligible, cfg, 300)
     assert {r["url_id"] for r in dq.collect()} == want
-    assert offsets is not None
+    assert offsets is not None and planned_n == len(want)
 
 
 def test_plan_dequeue_k_none_with_budget(spark):
@@ -100,9 +101,9 @@ def test_plan_dequeue_k_none_with_budget(spark):
     )
     eligible = FR.eligible_raw(fr, cfg)
     want = {r["url_id"] for r in _legacy(eligible, cfg, None).collect()}
-    dq, offsets = FR.plan_dequeue(eligible, cfg, None)
+    dq, offsets, planned_n = FR.plan_dequeue(eligible, cfg, None)
     assert {r["url_id"] for r in dq.collect()} == want
-    assert offsets is None
+    assert offsets is None and planned_n is None
     # the cap binds: hot host must be limited to the budget
     hot = dq.where(F.col("host") == "hot.example.com").count()
     assert hot == 25

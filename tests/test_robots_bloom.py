@@ -131,3 +131,28 @@ def test_bloom_crawl_matches_plain_crawl(spark, tmp_path):
 
     assert state(plain) == state(bloomed)
     assert plain.metrics_total() == bloomed.metrics_total()
+
+
+def test_bloom_ships_via_broadcast_once(spark):
+    """Round-2 fix (VERDICT item 4): the bitmap dict must ship through ONE
+    sc.broadcast per filter version (fetched once per executor), never be
+    closure-captured per task; union releases consumed broadcasts."""
+    cfg = CrawlConfig(partitions=4, salt=2)
+    from dumb_crawler_spark.corpus import frontier_urls_from_range
+
+    urls = frontier_urls_from_range(spark, 500)
+    cands = FR.make_candidates(urls, cfg)
+    bloom = PartitionedBloom.build(cands.select("url_id", "part"), expected_per_part=4096)
+    assert bloom._bcast is None  # lazy: nothing shipped until first probe
+    bloom.might_contain(cands).count()
+    b1 = bloom._bcast
+    assert b1 is not None and bloom.broadcast_bytes() > 0
+    bloom.might_contain(cands).count()
+    assert bloom._bcast is b1  # same version -> same broadcast, no re-ship
+
+    more = PartitionedBloom.build(cands.select("url_id", "part"), expected_per_part=4096)
+    merged = bloom.union(more)
+    assert bloom._bcast is None  # consumed inputs released
+    assert merged._bcast is None
+    merged.might_contain(cands).count()
+    assert merged._bcast is not None and merged._bcast is not b1

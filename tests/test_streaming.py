@@ -97,3 +97,52 @@ def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 00:10:00", "click")] == (1, 4.0)
     assert ("2024-01-01 02:00:00", "view") not in got
+
+
+def test_politeness_gate_state_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-host event-time
+    budget must persist ACROSS micro-batches — batch 2's admissions see batch
+    1's consumption; a newer window refills the budget."""
+    from dumb_crawler_spark.streaming import stream_politeness_gate
+
+    schema = "host string, url string, ts timestamp"
+    incoming = tmp_path / "cand"
+
+    def push(rows):
+        spark.createDataFrame(rows, "host string, url string, ts string").select(
+            "host", "url", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(str(incoming))
+
+    # batch 1: host A has 5 candidates in window [00:00, 00:01) — budget 3
+    push([
+        ("a.com", f"http://a.com/{i}", "2024-01-01 00:00:10") for i in range(5)
+    ] + [("b.com", "http://b.com/0", "2024-01-01 00:00:10")])
+    out = tmp_path / "gated"
+    q = stream_politeness_gate(
+        spark, str(incoming), str(tmp_path / "ck"), str(out), budget_per_host=3,
+        window_seconds=60,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(out)).collect()
+    a1 = [r for r in rows if r["host"] == "a.com"]
+    assert sum(r["admitted"] for r in a1) == 3 and len(a1) == 5
+    # deterministic order: smallest urls admitted first
+    assert {r["url"] for r in a1 if r["admitted"]} == {f"http://a.com/{i}" for i in range(3)}
+    assert all(r["admitted"] for r in rows if r["host"] == "b.com")
+
+    # batch 2: same window -> budget already consumed; next window -> refill
+    push([
+        ("a.com", "http://a.com/late1", "2024-01-01 00:00:30"),   # same window: reject
+        ("a.com", "http://a.com/next1", "2024-01-01 00:01:30"),   # new window: admit
+    ])
+    q2 = stream_politeness_gate(
+        spark, str(incoming), str(tmp_path / "ck"), str(out), budget_per_host=3,
+        window_seconds=60,
+    )
+    q2.awaitTermination(120)
+    batch2 = {
+        r["url"]: r["admitted"]
+        for r in spark.read.parquet(str(out)).collect()
+        if "late1" in r["url"] or "next1" in r["url"]
+    }
+    assert batch2 == {"http://a.com/late1": False, "http://a.com/next1": True}
