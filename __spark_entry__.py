@@ -317,8 +317,11 @@ def q_sim_ann_ivf(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    media = MM.media_from_text(_t(spark, sf, "documents"))
-    return MM.extract_features(media).select("media_id", "kind", "n_bytes", "sha1")
+    # REAL raw decode (round 2): PPM/WAV/DCV payloads built deterministically
+    # per doc_id, decoded + featurized with the numpy codecs (ops/codecs.py);
+    # `decoder` records which codec actually ran (never 'fake' here)
+    media = MM.synthetic_raw_media(_t(spark, sf, "documents"))
+    return MM.extract_features(media).select("media_id", "kind", "n_bytes", "sha1", "decoder")
 
 
 def q_extract_links(spark, sf):

@@ -15,8 +15,6 @@ Usage: python -m dumb_crawler_spark.cli <expr-test|pages-view|crawl> [...]
 from __future__ import annotations
 
 import argparse
-import json
-import sys
 
 from pyspark.sql import functions as F
 
@@ -72,9 +70,9 @@ def crawl(args: argparse.Namespace) -> None:
     cfg = load_config(args.config)
     docs = spark.read.parquet(args.docs)
     crawler = Crawler(spark, cfg, docs, args.warehouse, use_bloom=args.bloom)
-    history = crawler.run(max_rounds=args.rounds)
-    for s in history:
-        print(json.dumps({"round": s.round_no, "dequeued": s.dequeued, **s.counters}))
+    # verbose=True streams the C8 stats line per round (counters + uptime +
+    # JVM heap, DumbCrawler.java:196-231) as the crawl progresses
+    crawler.run(max_rounds=args.rounds, verbose=True)
 
 
 def main(argv: list[str] | None = None) -> None:

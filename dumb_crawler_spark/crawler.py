@@ -178,8 +178,21 @@ class Crawler:
         if planned_n is not None:
             # threshold path: dequeued count is known from the plan walk; the
             # ALLOWED/IGNORED split falls out of the fetch artifact's footer
-            # row count below — no count job over the batch at all
+            # row count below. A bare count() still runs as the CACHE
+            # MATERIALIZATION BARRIER — without it the fetch join's several
+            # subplan references to dq (broadcast build + miss anti-join)
+            # race to evaluate the whole dequeue pipeline against a cold
+            # cache and duplicate the heavy window/filter work (measured
+            # ~2.5x fetch_write at local[8]). Unlike the legacy job this
+            # barrier does no retag/aggregation — and it doubles as the
+            # walk-count invariant check.
             stats.dequeued = planned_n
+            with self._phase("dequeue"):
+                got_n = dq.count()
+            if got_n != planned_n:
+                raise AssertionError(
+                    f"threshold dequeue drift: plan walk={planned_n}, executed={got_n}"
+                )
             allowed = FR.retag_dequeued(dq, cfg).where(F.col("_allowed")).drop("_allowed")
         else:
             # small-k path: one job materializes dq+retagged AND yields counts

@@ -203,3 +203,55 @@ def test_ngram_jaccard_matches_duckdb_oracle(spark):
     # (1,4) normalize identically (7 shared shingles of 7); (5,6) are equal
     # one-token docs; (1,2) differ by one word -> below 0.5 at k=3
     assert got == want == {(1, 4, 7, 7), (5, 6, 1, 1)}
+
+
+def test_codecs_exact():
+    """Raw codecs (ops/codecs.py): decode == inverse of encode, features are
+    exact block means / RMS, malformed bytes return None (never raise)."""
+    import numpy as np
+
+    from dumb_crawler_spark.ops import codecs as C
+
+    rgb = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    assert np.array_equal(C.decode_ppm(C.encode_ppm(rgb)), rgb)
+    f = C.image_feature(rgb, grid=2)
+    gray = rgb.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)
+    assert abs(f[0] - gray[0, :2].mean() / 255.0) < 1e-6  # exact block mean
+    assert C.image_feature(np.random.default_rng(3).integers(0, 256, (37, 53, 3)).astype(np.uint8)).shape == (64,)
+
+    amp = np.full(8000, 16384, np.int16)
+    pcm, rate = C.decode_wav_pcm16(C.encode_wav_pcm16(amp, 8000))
+    assert rate == 8000
+    assert np.allclose(C.audio_feature(pcm), 0.5, atol=1e-3)  # RMS of constant 0.5
+
+    frames = [C.encode_ppm(np.full((4, 4, 3), v, np.uint8)) for v in (0, 60, 120, 180, 240)]
+    got = C.decode_dcv_frames(C.encode_dcv(frames), n_sample=3)
+    assert len(got) == 3 and got[0][0, 0, 0] == 0 and got[-1][0, 0, 0] == 240
+
+    for bad in (b"JFIF....", b"not audio", b"DCV0", b"P6\n5 5\n255\nshort", b"RIFFxxxxWAVE"):
+        assert C.decode_ppm(bad) is None
+        assert C.decode_wav_pcm16(bad) is None
+        assert C.decode_dcv_frames(bad) is None
+
+
+def test_multimodal_real_decode(spark):
+    """synthetic_raw_media payloads decode FOR REAL: decoder tag matches the
+    format, image features are 64-dim block means in [0,1], video pools
+    sampled frames, and the whole path is deterministic."""
+    docs = spark.range(30).select(F.col("id").cast("string").alias("doc_id"))
+    media = MM.synthetic_raw_media(docs, id_col="doc_id")
+    rows = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert len(rows) == 30
+    kinds = {r["kind"] for r in rows.values()}
+    assert kinds == {"image", "audio", "video"}  # seed mix covers all three
+    for r in rows.values():
+        assert r["decoder"] == {"image": "ppm", "audio": "wav", "video": "dcv"}[r["kind"]]
+        assert len(r["feature"]) == {"ppm": 64, "wav": 8, "dcv": 64}[r["decoder"]]
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    again = {r["media_id"]: r["feature"] for r in MM.extract_features(media).collect()}
+    assert again == {k: r["feature"] for k, r in rows.items()}
+    # text payloads (not decodable media) take the honest fallback
+    fake = MM.extract_features(
+        MM.media_from_text(spark.createDataFrame([(1, "plain text")], "doc_id long, text string"))
+    ).collect()[0]
+    assert fake["decoder"] == "fake" and len(fake["feature"]) in (8,)

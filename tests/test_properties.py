@@ -119,3 +119,46 @@ def test_dequeue_invariants_random_frontier(spark):
         per_host[r["host"]] += 1
     assert all(n <= 7 for n in per_host.values())
     assert len(got) <= 100
+
+
+def test_plan_dequeue_equals_legacy_randomized(spark):
+    """Batched randomized parity (seeded, one Spark job per case): the fused
+    planner must equal the legacy two-job path for random frontiers × random
+    budgets × random k, including k straddling the threshold cutoff and
+    budgets that do/don't bind."""
+    rng = random.Random(77)
+    cutoff_orig = FR._TOPK_THRESHOLD_CUTOFF
+    FR._TOPK_THRESHOLD_CUTOFF = 40
+    try:
+        for case in range(4):
+            n = rng.randint(200, 1200)
+            n_hosts = rng.choice([3, 12, 50])
+            rows = [
+                (
+                    f"i{case}_{i:05d}", f"http://h{rng.randint(0, n_hosts)}.x/{i}",
+                    f"h{rng.randint(0, n_hosts)}.x", ["t"],
+                    rng.choice([0, 0, 0, 1, 2, 3]), rng.choice([0, 5, 10, 900]),
+                    rng.randint(0, 4), 0, 0, None, None, None, i % 8,
+                )
+                for i in range(n)
+            ]
+            fr = spark.createDataFrame(rows, FR.FRONTIER_SCHEMA)
+            budget = rng.choice([None, 5, 30, 10_000])
+            cfg = CrawlConfig(
+                max_attempt_count=4,
+                politeness=Politeness(budget_per_host_per_round=budget),
+            )
+            k = rng.choice([10, 60, 500, 5000])
+            eligible = FR.eligible_raw(fr, cfg)
+            over = FR.over_budget_hosts(eligible, cfg, None)
+            legacy = FR.topk_from_eligible(
+                FR.apply_host_cap(eligible, cfg, over, None), k
+            )
+            want = {r["url_id"] for r in legacy.collect()}
+            dq, offsets, planned_n = FR.plan_dequeue(eligible, cfg, k)
+            got = {r["url_id"] for r in dq.collect()}
+            assert got == want, f"case={case} k={k} budget={budget}"
+            if planned_n is not None:
+                assert planned_n == len(got), f"case={case}"
+    finally:
+        FR._TOPK_THRESHOLD_CUTOFF = cutoff_orig
