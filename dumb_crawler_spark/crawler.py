@@ -39,6 +39,7 @@ from .config import CrawlConfig
 from .extract import order_spans
 from .fetch import fetch_simulate
 from .filters import is_url_allowed, should_store
+from .planner import IncrementalPlanner
 from .storage import Warehouse
 
 PAGES_SCHEMA_COLS = ("url_id", "url", "round", "spans", "fetched_round")
@@ -88,6 +89,12 @@ class Crawler:
         self._bloom = None
         self._bloom_capacity = 0
         self._host_budgets = None
+        # Incremental dequeue planning (planner.py): the per-round full
+        # eligible-set scan was the dominant serial phase (BENCH.md round 2);
+        # the planner replaces it with k-bounded driver algebra after one
+        # seed pass. Applies to the large-k threshold path; legacy fused
+        # planning remains for small-k / per-host-budget-table rounds.
+        self._planner = IncrementalPlanner(cfg)
         if self.robots is not None:
             from .robots import host_budgets
 
@@ -157,20 +164,44 @@ class Crawler:
         frq = self.wh.read_frontier_queued(round_no - 1)
 
         # A1 dequeue; k mirrors the reference's 2×pool backpressure budget
-        # (DumbCrawler.java:266-274). The capped eligible set is cached ONCE —
-        # the histogram passes, the top-K and the politeness window all read
-        # it, so the frontier is scanned (and the queued-view broadcast
-        # built) exactly once per round.
+        # (DumbCrawler.java:266-274).
         k = cfg.thread_count * 2
-        eligible = FR.eligible_raw(frq, cfg).cache()
+        eligible = FR.eligible_raw(frq, cfg)
+        use_inc = self._planner.applicable(k, self._host_budgets)
+        elig_cached = False
         with self._phase("dequeue_plan"):
-            # ONE grouping-sets job (frontier.plan_dequeue) materializes the
-            # cache AND yields the over-budget host list, the top-K class
-            # histogram, the lineage bucket offsets (dq_order launches no
-            # histogram job) and the EXACT planned dequeue count; the legacy
-            # path paid two full eligible passes plus a count job.
-            dq_plan, dq_offsets, planned_n = FR.plan_dequeue(eligible, cfg, k, self._host_budgets)
+            plan = None
+            if use_inc:
+                # incremental path (planner.py): driver-held histogram +
+                # host counts → the only pre-dequeue Spark work is the small
+                # beyond-cap job on over-budget rounds. The dequeue filter
+                # itself then reads the frontier parquet directly — status/
+                # priority/attempt predicates push down to row-group stats
+                # (the snapshot is written sorted by (status, priority DESC)),
+                # so no 10^6-row executor cache is ever built.
+                if not self._planner.ready:
+                    # seed pass: the ONE full grouping-sets scan per
+                    # bootstrap/resume (the legacy path paid it every round)
+                    self._planner.seed_from(eligible)
+                if self._planner.ready:
+                    plan = self._planner.plan(eligible, k)
+            if plan is not None:
+                dq_plan, dq_offsets, planned_n = plan
+            else:
+                use_inc = False
+                # legacy fused planning: cache the eligible set once — the
+                # grouping-sets probe, the politeness window and the top-K
+                # all read the cache (frontier.plan_dequeue)
+                eligible = eligible.cache()
+                elig_cached = True
+                dq_plan, dq_offsets, planned_n = FR.plan_dequeue(
+                    eligible, cfg, k, self._host_budgets
+                )
             dq = dq_plan.cache()
+        if not use_inc:
+            # this round's transitions won't be fed back — stale state must
+            # not survive into a later incremental round
+            self._planner.invalidate()
 
         # T4 re-tag + re-filter; disallowed rows leak as PROCESSING (reference
         # marks taken before filtering, URLStore.java:191-206 + DumbCrawler.java:275-279).
@@ -188,11 +219,24 @@ class Crawler:
             # walk-count invariant check.
             stats.dequeued = planned_n
             with self._phase("dequeue"):
-                got_n = dq.count()
+                if use_inc and self._planner.hosts is not None:
+                    # same barrier, richer readback: the k-bounded per-host
+                    # counts feed the planner's host-state decrement — no
+                    # extra job vs a bare count()
+                    hc = {
+                        r["host"]: r["n"]
+                        for r in dq.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
+                    }
+                    got_n = sum(hc.values())
+                else:
+                    hc = None
+                    got_n = dq.count()
             if got_n != planned_n:
                 raise AssertionError(
                     f"threshold dequeue drift: plan walk={planned_n}, executed={got_n}"
                 )
+            if use_inc:
+                self._planner.on_dequeued(hc)
             allowed = FR.retag_dequeued(dq, cfg).where(F.col("_allowed")).drop("_allowed")
         else:
             # small-k path: one job materializes dq+retagged AND yields counts
@@ -250,16 +294,39 @@ class Crawler:
             exploded = ok_rows.select(F.explode_outer("links").alias("url")).where(
                 F.col("url").isNotNull()
             )
-            link_cands = FR.make_candidates(exploded, cfg).cache()
-            with self._phase("links_count"):
-                lc = (
-                    link_cands.withColumn("_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg))
-                    .groupBy("_ok").agg(F.count("*").alias("n")).collect()
+            link_cands = FR.make_candidates(exploded, cfg)
+            obs = None
+            flagged = link_cands.withColumn(
+                "_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg)
+            )
+            if self.robots is None and not self.use_bloom:
+                # F2 counters ride the ins-write job as observed metrics
+                # (CollectMetrics) instead of a separate full candidate pass;
+                # the candidate pipeline is therefore evaluated exactly once
+                # per round and needs no executor cache. The robots/bloom
+                # configs keep the legacy count job: their plans reference
+                # the candidate subtree from more than one branch/action, so
+                # an observed node would double-count.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                flagged = flagged.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_total"),
+                    F.sum(F.col("_ok").cast("long")).alias("n_ok"),
                 )
-            lcm = {r["_ok"]: r["n"] for r in lc}
-            out["ALLOWED_LINKS"] = lcm.get(True, 0)
-            out["IGNORED_LINKS"] = lcm.get(False, 0)
-            allowed_cands = FR.filter_allowed(link_cands, cfg)
+                allowed_cands = flagged.where(F.col("_ok")).drop("_ok")
+            else:
+                link_cands = link_cands.cache()
+                with self._phase("links_count"):
+                    lc = (
+                        link_cands.withColumn("_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg))
+                        .groupBy("_ok").agg(F.count("*").alias("n")).collect()
+                    )
+                lcm = {r["_ok"]: r["n"] for r in lc}
+                out["ALLOWED_LINKS"] = lcm.get(True, 0)
+                out["IGNORED_LINKS"] = lcm.get(False, 0)
+                allowed_cands = FR.filter_allowed(link_cands, cfg)
             if self.robots is not None:  # J6-NR robots path-prefix gate
                 from .robots import filter_robots_allowed
 
@@ -285,6 +352,15 @@ class Crawler:
                 # zero-insert round leaves no ins- dir at all
                 inserted_n = self.wh.write_frontier_inserts(round_no, new_rows)
             out["DISCOVERED_URLS"] = inserted_n
+            if obs is not None:
+                vals = obs.get
+                out["ALLOWED_LINKS"] = int(vals["n_ok"] or 0)
+                out["IGNORED_LINKS"] = int(vals["n_total"] or 0) - int(vals["n_ok"] or 0)
+            if use_inc and inserted_n:
+                # fold the k-bounded ins-delta into the planner state — the
+                # small aggregation that replaces next round's frontier scan
+                with self._phase("plan_ins_update"):
+                    self._planner.on_inserts(self.wh.read_frontier_inserts(round_no))
             if self.use_bloom and inserted_n:
                 # incremental: hash ONLY this round's inserts into the filter
                 from .bloom import PartitionedBloom
@@ -295,7 +371,8 @@ class Crawler:
                         expected_per_part=self._bloom_capacity,
                     )
                 )
-            link_cands.unpersist()
+            if obs is None:
+                link_cands.unpersist()
             return out
 
         def fstats_chain() -> dict[str, int]:
