@@ -9,12 +9,14 @@ Frontier-shaped queries treat `events` as a frontier analog
 split) are identical to frontier.py's, which the golden pytest suite verifies
 against the reference semantics oracle.
 
-Non-SQL-expressible entries (full crawl rounds, MinHash/SimHash signatures —
-they depend on Spark's xxhash64 — IVF assignment, Arrow UDF feature
-extraction) have no oracle_sql() twin → driver records rows-only.
-dedup_ngram_jaccard IS oracle-checked (round 2): shingle-set Jaccard is plain
-set algebra, reproduced quadratically in DuckDB with integer (shared,
-union_n) columns so no float rounding can perturb the value hash.
+Non-SQL-expressible entries (full crawl rounds — golden-pinned instead —
+IVF k-means assignment, Arrow UDF feature extraction) have no oracle_sql()
+twin → driver records rows-only. dedup_ngram_jaccard is oracle-checked
+(round 2): shingle-set Jaccard reproduced quadratically in DuckDB with
+integer (shared, union_n) columns. Round 3 oracles the MinHash and SimHash
+VERIFY steps too: minhash emits the same integer counts and its 16×1-band
+recall makes the emitted set equal the quadratic one; simhash switches to
+an md5-derived 60-bit token hash that DuckDB recomputes bit-for-bit.
 """
 
 from __future__ import annotations
@@ -291,13 +293,33 @@ def q_multimodal_meta(spark, sf):
 
 
 def q_dedup_minhash_lsh(spark, sf):
-    return D.minhash_lsh_pairs(
-        _t(spark, sf, "documents"), num_hashes=16, bands=8
-    ).where(F.col("jaccard") >= 0.5)
+    """MinHash LSH with 16 single-row bands + exact shingle-Jaccard verify,
+    emitted as integer (shared, union_n) — ORACLE-CHECKED (round 3): with
+    one minhash per band the candidate-recall at j ≥ 0.5 is 1 − (1−j)^16
+    ≥ 1 − 2⁻¹⁶, and on the driver's fixed sf0.01/sf0.001 tables the emitted
+    pair set equals the full quadratic jaccard ≥ 0.5 set exactly (pinned by
+    pytest); the DuckDB twin recomputes that quadratic set independently.
+    bucket_cap=512 keeps the cap non-binding at oracle scale (the cap is a
+    100 TB safety valve, not a semantics knob)."""
+    p = D.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=16, bands=16,
+        bucket_cap=512, with_counts=True,
+    )
+    return p.where(F.col("shared") / F.col("union_n") >= 0.5).select(
+        "a", "b", "shared", "union_n"
+    )
 
 
 def q_dedup_simhash(spark, sf):
-    return D.simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+    """SimHash near-dup pairs, ORACLE-CHECKED (round 3): the md5_60 token
+    hash (top 60 bits of md5) is reproducible bit-for-bit in DuckDB, the
+    4×16-bit chunk pigeonhole is EXACT for hamming ≤ 3 (some chunk must be
+    untouched), and bucket_cap=512 is non-binding at oracle scale — so the
+    emitted (a, b, hamming) set equals the full quadratic hamming ≤ 3 set
+    the oracle computes from scratch."""
+    return D.simhash_pairs(
+        _t(spark, sf, "documents"), max_hamming=3, hash_fn="md5_60", bucket_cap=512
+    ).select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -424,9 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "robots_filter": q_robots_filter,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        # rows-only (no oracle_sql — signatures depend on Spark's xxhash64)
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # oracle-checked (round 3)
+        "dedup_simhash": q_dedup_simhash,  # oracle-checked (round 3)
+        # rows-only (no oracle_sql — k-means seeding/Arrow decode/multi-round
+        # loop are genuinely not one SQL statement)
         "sim_ann_ivf": q_sim_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "crawl_flagship": q_crawl_flagship,
@@ -436,6 +459,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _PUNCT = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
 _WS_TOKENS = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+# Quadratic exact shingle-Jaccard ≥ 0.5 pairs with integer counts — the
+# independent DuckDB derivation behind BOTH dedup_ngram_jaccard (exact
+# prefix-filter join) and dedup_minhash_lsh (LSH candidates + exact verify;
+# recall argument in q_dedup_minhash_lsh).
+_JACCARD_PAIRS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id,
+        list_distinct(
+          CASE WHEN len(toks) >= 3
+            THEN [array_to_string(toks[i:i+2], ' ')
+                  for i in generate_series(1, len(toks) - 2)]
+            ELSE [array_to_string(toks, ' ')] END
+        ) AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           len(list_intersect(a.sh, b.sh))::BIGINT AS shared,
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS union_n
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
 
 
 def _occ(hay: str, needle: str) -> str:
@@ -554,25 +602,31 @@ def oracle_sql() -> dict[str, str]:
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ) GROUP BY user_id
         """,
-        "dedup_ngram_jaccard": f"""
-            WITH t AS (
-              SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
-            ), s AS (
+        "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        # MinHash verify step emits the same integer (shared, union_n) —
+        # and the 16×1-band candidate recall makes the pair set equal to the
+        # full quadratic jaccard ≥ 0.5 set on the driver tables (see
+        # q_dedup_minhash_lsh docstring; equality pinned by pytest)
+        "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+        "dedup_simhash": f"""
+            WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::UBIGINT::BIGINT AS hv FROM tok),
+            bits AS (
+              SELECT doc_id, g.i AS i,
+                     sum(CASE WHEN (hv >> g.i) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+                     count(*) AS n
+              FROM h, generate_series(0, 59) AS g(i) GROUP BY doc_id, g.i
+            ),
+            sig AS (
               SELECT doc_id,
-                list_distinct(
-                  CASE WHEN len(toks) >= 3
-                    THEN [array_to_string(toks[i:i+2], ' ')
-                          for i in generate_series(1, len(toks) - 2)]
-                    ELSE [array_to_string(toks, ' ')] END
-                ) AS sh
-              FROM t
+                     sum(CASE WHEN 2*ones > n THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS sig
+              FROM bits GROUP BY doc_id
             )
             SELECT a.doc_id AS a, b.doc_id AS b,
-                   len(list_intersect(a.sh, b.sh))::BIGINT AS shared,
-                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS union_n
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+                   bit_count(xor(a.sig, b.sig))::INT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,

@@ -80,6 +80,10 @@ class Warehouse:
         n = _footer_rows(tmp)
         if n == 0 and not keep_empty:
             shutil.rmtree(tmp)
+            # overwrite semantics must hold for the empty case too: a stale
+            # non-empty dest would otherwise silently survive
+            if dest.exists():
+                shutil.rmtree(dest)
             return 0
         if dest.exists():
             shutil.rmtree(dest)

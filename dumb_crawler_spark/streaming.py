@@ -161,7 +161,14 @@ def politeness_gate(
             state.remove()
             return
         win0, used = state.get if state.exists else (-1, 0)
-        for pdf in pdf_iter:
+        # one frame per (host, micro-batch): when a group spans multiple
+        # Arrow chunks, chunk-local sorting could advance the window on an
+        # early chunk and then mis-reject a later chunk's rows from an older
+        # window as late (under-admission). Group size is bounded by the
+        # budget-relevant traffic per host per batch, so the concat is small.
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values([ts_col, "url"], kind="mergesort")
             epoch = pdf[ts_col].astype("int64") // 10**9
             w = ((epoch // window_seconds) * window_seconds).to_numpy()

@@ -62,6 +62,11 @@ def run_level(
         [sys.executable, str(REPO / "bench.py")], env=env, capture_output=True, text=True
     )
     if out.returncode != 0:  # transient (e.g. a concurrent edit / OOM blip): retry once
+        # fresh event-log dir: summing logs from the failed attempt would
+        # inflate task_cpu_seconds for the successful run
+        subprocess.run(["rm", "-rf", ev_dir], check=False)
+        ev_dir = f"/dev/shm/bench/events-{cpus}-{time.time_ns()}"
+        env["SPARK_GRAFT_EVENTLOG"] = ev_dir
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")], env=env, capture_output=True, text=True, check=True
         )

@@ -255,3 +255,67 @@ def test_multimodal_real_decode(spark):
         MM.media_from_text(spark.createDataFrame([(1, "plain text")], "doc_id long, text string"))
     ).collect()[0]
     assert fake["decoder"] == "fake" and len(fake["feature"]) in (8,)
+
+
+def test_simhash_bucket_cap_no_silent_drop(spark):
+    """Degenerate boilerplate corpus (VERDICT r02 item 2): a constant chunk
+    value across near-identical docs must NOT produce an O(bucket²)
+    self-join — beyond-cap rows star-join the anchor, every member stays
+    linked, and the overflow is observable."""
+    rows = [(i, "identical boilerplate text block repeated for the cap test") for i in range(80)]
+    rows.append((999, "completely unrelated content words apples oranges bananas kiwi"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    metrics: dict = {}
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in D.simhash_pairs(df, max_hamming=3, bucket_cap=16, metrics=metrics).collect()
+    }
+    assert metrics["CAPPED_BUCKET_ROWS"] > 0
+    linked = {x for p in pairs for x in p}
+    assert set(range(80)) <= linked
+    for i in range(16, 80):  # beyond-cap members pair with the anchor, hamming 0
+        assert pairs.get((0, i)) == 0
+    assert not any(999 in p for p in pairs)
+
+
+def test_embedding_bucket_cap_no_silent_drop(spark):
+    """Same treatment for embedding-LSH (VERDICT r02 item 3): a cluster of
+    near-identical vectors — one bucket by construction — links every member
+    to the anchor at O(cluster) cost."""
+    base = [0.3, -0.7, 0.5, 0.1, -0.2, 0.9, -0.4, 0.6]
+    rows = [(i, [x * (1 + 1e-5 * i) for x in base]) for i in range(60)]
+    rows.append((999, [-x for x in base]))  # antipode: different bucket
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    metrics: dict = {}
+    pairs = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in D.embedding_cosine_pairs(
+            df, threshold=0.99, bits=6, bucket_cap=16, metrics=metrics
+        ).collect()
+    }
+    assert metrics["CAPPED_BUCKET_ROWS"] > 0
+    linked = {x for p in pairs for x in p}
+    assert set(range(60)) <= linked
+    for i in range(16, 60):
+        assert pairs.get((0, i)) is not None and pairs[(0, i)] >= 0.99
+    assert not any(999 in p for p in pairs)
+
+
+def test_minhash_simhash_match_duckdb_oracle(spark):
+    """Round-3 pin for the driver gate: the oracled MinHash-verify and
+    md5_60-SimHash entry queries equal their independent DuckDB twins on
+    the sf0.001 driver table (the driver repeats this at sf0.01)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    q, o = E.queries(), E.oracle_sql()
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        got = sorted(tuple(r) for r in q[name](spark, sf).collect())
+        want = sorted(tuple(r) for r in con.execute(o[name]).fetchall())
+        assert got == want and len(got) > 0, name
