@@ -58,11 +58,34 @@ def cosine_topk(
 
 
 def _assign(emb: DataFrame, cents: list[list[float]], vec_col: str) -> DataFrame:
-    """Nearest-centroid (max cosine) assignment as a `list_id` column."""
-    v = _as_double(F.col(vec_col))
-    sims = F.array(*[cosine(v, _query_lit(c)) for c in cents])
+    """Nearest-centroid (max cosine) assignment as a `list_id` column.
+
+    The row vector and its norm are hoisted into their own columns so the
+    nlist-wide similarity array computes them ONCE per row (Catalyst keeps
+    multiply-referenced non-cheap projections materialized); centroid norms
+    are plain Python floats. Naively instantiating cosine() per centroid
+    re-derived norm(v) nlist times — half the assignment FLOPs for nothing.
+    """
+    import math
+
+    cnorms = [math.sqrt(sum(x * x for x in c)) or 1.0 for c in cents]
+    # the centroid table rides as ONE nested-array literal (and one norm
+    # array literal): unrolling nlist × dim scalar literals instead builds a
+    # 1000+-node expression tree whose analysis + codegen dominates the op's
+    # wall at sandbox scale — and grows with nlist
+    sims = F.zip_with(
+        F.lit([[float(x) for x in c] for c in cents]),
+        F.lit(cnorms),
+        lambda c, cn: dot(F.col("_v"), c) / (F.col("_vn") * cn),
+    )
     list_id = F.expr("array_position(sims_arr, array_max(sims_arr)) - 1")
-    return emb.withColumn("sims_arr", sims).withColumn("list_id", list_id.cast("int")).drop("sims_arr")
+    return (
+        emb.withColumn("_v", _as_double(F.col(vec_col)))
+        .withColumn("_vn", norm(F.col("_v")))
+        .withColumn("sims_arr", sims)
+        .withColumn("list_id", list_id.cast("int"))
+        .drop("sims_arr", "_v", "_vn")
+    )
 
 
 def build_ivf(
