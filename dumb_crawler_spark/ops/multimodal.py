@@ -147,14 +147,33 @@ def _feature_of(kind: str, payload: bytes) -> tuple[list[float], str]:
     return _fake_feature(payload), "fake"
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def decoder_stats(features: DataFrame) -> dict[str, int]:
+    """One-number visibility for silent fallback mass (VERDICT r02 item 8):
+    ``FAKE_DECODED`` counts rows whose features came from the hash fallback
+    rather than a real codec — a corpus that quietly degrades to fake
+    features at scale shows up here instead of hiding in a per-row column.
+    Also returns ``DECODED_<codec>`` counts for the real decoders."""
+    out = {"FAKE_DECODED": 0}
+    for r in features.groupBy("decoder").count().collect():
+        if r["decoder"] == "fake":
+            out["FAKE_DECODED"] = r["count"]
+        else:
+            out[f"DECODED_{r['decoder'].upper()}"] = r["count"]
+    return out
+
+
+def extract_features(
+    media: DataFrame, batch_hint: int = 1024, metrics: dict | None = None
+) -> DataFrame:
     """mapInPandas feature extraction: bytes → (n_bytes, sha1, feature vec,
     decoder tag).
 
     The UDF iterates Arrow record batches — constant memory per task no
     matter the partition size; raw formats (PPM/WAV/DCV0) decode for real
     (ops/codecs.py), video frames mean-pool, everything else takes the
-    deterministic fallback and says so in ``decoder``.
+    deterministic fallback and says so in ``decoder``. Pass ``metrics`` to
+    get the aggregate decoder_stats() (one extra action) — same observable-
+    cap convention as the dedup ops.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -175,7 +194,10 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             })
 
     cols = ["media_id", "kind", "payload"]
-    return media.select(*cols).mapInPandas(fn, FEATURE_SCHEMA)
+    out = media.select(*cols).mapInPandas(fn, FEATURE_SCHEMA)
+    if metrics is not None:
+        metrics.update(decoder_stats(out))
+    return out
 
 
 def media_metadata(media: DataFrame) -> DataFrame:

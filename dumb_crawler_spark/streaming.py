@@ -240,3 +240,56 @@ def stream_politeness_gate(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_gated_ingest(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    warehouse_dir: str,
+    incoming_dir: str,
+    checkpoint_dir: str,
+    budget_per_host: int,
+    window_seconds: int = 60,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The continuous frontier pipeline, end to end (VERDICT r02 item 9):
+    file-stream of (url, ts) candidates → canonicalize/host (URL kernel on
+    the stream) → STATEFUL per-host politeness gate → frontier MERGE, one
+    snapshot commit per micro-batch.
+
+    The gate runs INSIDE the streaming query (its per-host token-bucket
+    state lives in the checkpoint, so the budget holds across micro-batches
+    AND restarts); only admitted rows reach the foreachBatch merge, which
+    reuses the batch operators — rejected rows are simply not consumed this
+    window (a frontier re-feed would re-submit them later, exactly like the
+    batch engine re-dequeues beyond-cap rows next round).
+    """
+    from .urlkit import host_of, with_canonical_url
+
+    wh = Warehouse(spark, warehouse_dir)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        urls = batch.where(F.col("admitted")).select("url")
+        last = wh.last_committed_round()
+        fr = wh.read_frontier(last) if last is not None else FR.empty_frontier(spark)
+        rnd = (last or 0) + 1
+        cands = FR.filter_allowed(FR.make_candidates(urls, cfg), cfg)
+        merged = FR.merge_new_links(fr, cands, cfg, rnd, depth=rnd)
+        wh.write_snapshot("frontier", rnd, merged.repartition(cfg.partitions, "part"))
+        wh.commit_round(rnd, {"stream_batch": batch_id})
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    stream = with_canonical_url(stream, "url", "url").withColumn(
+        "host", host_of(F.col("url"))
+    )
+    gated = politeness_gate(stream, budget_per_host, window_seconds)
+    writer = gated.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

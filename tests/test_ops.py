@@ -319,3 +319,22 @@ def test_minhash_simhash_match_duckdb_oracle(spark):
         got = sorted(tuple(r) for r in q[name](spark, sf).collect())
         want = sorted(tuple(r) for r in con.execute(o[name]).fetchall())
         assert got == want and len(got) > 0, name
+
+
+def test_decoder_stats_metric(spark):
+    """FAKE_DECODED aggregate (VERDICT r02 item 8): fallback mass is one
+    observable number; an all-real corpus reports zero."""
+    real = MM.synthetic_raw_media(
+        spark.range(10).select(F.col("id").cast("string").alias("doc_id")), id_col="doc_id"
+    )
+    metrics: dict = {}
+    MM.extract_features(real, metrics=metrics)
+    assert metrics["FAKE_DECODED"] == 0
+    assert sum(v for k, v in metrics.items() if k.startswith("DECODED_")) == 10
+
+    mixed = MM.media_from_text(
+        spark.createDataFrame([(1, "plain text"), (2, "more text")], "doc_id long, text string")
+    )
+    m2: dict = {}
+    MM.extract_features(mixed, metrics=m2)
+    assert m2["FAKE_DECODED"] == 2

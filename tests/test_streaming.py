@@ -146,3 +146,48 @@ def test_politeness_gate_state_across_batches(spark, tmp_path):
         if "late1" in r["url"] or "next1" in r["url"]
     }
     assert batch2 == {"http://a.com/late1": False, "http://a.com/next1": True}
+
+
+def test_stream_gated_ingest_end_to_end(spark, tmp_path):
+    """Continuous pipeline integration (round 3): files → URL kernel →
+    stateful politeness gate → frontier merge. The per-host budget must hold
+    ACROSS micro-batches (second run, same checkpoint: the window's budget
+    is already consumed), and only admitted URLs may reach the frontier."""
+    from dumb_crawler_spark.streaming import stream_gated_ingest
+
+    cfg = canonical_config()
+    incoming = tmp_path / "in"
+
+    def push(rows):
+        spark.createDataFrame(rows, "url string, ts string").select(
+            "url", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(str(incoming))
+
+    # batch 1: 4 article candidates on site.example.com in one window, budget 2
+    push([(f"http://site.example.com/articles/{i}", "2024-01-01 00:00:10") for i in range(1, 5)])
+    q = stream_gated_ingest(
+        spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ck"),
+        budget_per_host=2, window_seconds=60,
+    )
+    q.awaitTermination(120)
+    wh = Warehouse(spark, tmp_path / "wh")
+    urls1 = {r["url"] for r in wh.read_frontier().collect()}
+    # gate admits the 2 smallest (ts, url) rows of the window
+    assert urls1 == {
+        "http://site.example.com/articles/1",
+        "http://site.example.com/articles/2",
+    }
+
+    # batch 2, same checkpoint: same-window rows are over budget (state
+    # carried), a next-window row refills
+    push([
+        ("http://site.example.com/articles/7", "2024-01-01 00:00:30"),  # same window: reject
+        ("http://site.example.com/articles/8", "2024-01-01 00:01:30"),  # new window: admit
+    ])
+    q2 = stream_gated_ingest(
+        spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ck"),
+        budget_per_host=2, window_seconds=60,
+    )
+    q2.awaitTermination(120)
+    urls2 = {r["url"] for r in Warehouse(spark, tmp_path / "wh").read_frontier().collect()}
+    assert urls2 == urls1 | {"http://site.example.com/articles/8"}
