@@ -148,12 +148,23 @@ def _ladder(levels, frontier_n, rounds, k, reps, progress=None) -> dict:
         cpu = r.get("task_cpu_seconds")
         return round(cpu * 1e6 / r["crawl"]["urls_processed"], 1) if cpu else None
 
+    # median alongside best-of (reps ≥ 3 makes the median load-bearing):
+    # best-of estimates least-contended machine capability, the median shows
+    # what a typical run saw — both published, with the full sample lists
+    import statistics
+
+    med_secs = {n: statistics.median(r["crawl"]["seconds"] for r in rs) for n, rs in runs.items()}
+    med_tp = {
+        n: runs[n][0]["crawl"]["urls_processed"] / med_secs[n] for n in runs
+    }
     return {
         "levels": [lo_name, hi_name],
         "best": {n: b["crawl"] for n, b in best.items()},
         "throughput_N": t_n,
         "throughput_4N": t_4n,
         "scaling_efficiency": round(t_4n / (4 * t_n), 3),
+        "median_seconds": {n: round(s, 2) for n, s in med_secs.items()},
+        "scaling_efficiency_median": round(med_tp[hi_name] / (4 * med_tp[lo_name]), 3),
         "all_samples_seconds": {n: [r["crawl"]["seconds"] for r in rs] for n, rs in runs.items()},
         "task_cpu_us_per_url": {n: cpu_per_url(b) for n, b in best.items()},
     }
@@ -225,8 +236,13 @@ def _ladder_md(name: str, lad: dict, kind: str) -> str:
         f"{lad['throughput_N']:,} | {cpu[lo]} |\n"
         f"| 4N ({hi}) | {b_hi['urls_processed']:,} | {b_hi['seconds']} | "
         f"{lad['throughput_4N']:,} | {cpu[hi]} |\n\n"
-        f"**Scaling efficiency = throughput_4N / (4 x throughput_N) = {eff:.3f}**\n\n"
-        f"All samples (seconds): {lo} = {samples_lo}, {hi} = {samples_hi}. {kind}\n"
+        f"**Scaling efficiency (best-of) = throughput_4N / (4 x throughput_N) = {eff:.3f}**; "
+        f"median-of-reps efficiency = {lad.get('scaling_efficiency_median', eff):.3f} "
+        f"(median seconds: {lo} = {lad.get('median_seconds', {}).get(lo)}, "
+        f"{hi} = {lad.get('median_seconds', {}).get(hi)}).\n\n"
+        f"All samples (seconds): {lo} = {samples_lo}, {hi} = {samples_hi} — "
+        "spread published rather than averaged away (±40% host noise). "
+        f"{kind}\n"
     )
 
 
@@ -293,17 +309,27 @@ the ceiling, measured above. Method notes: tmpfs warehouse + Spark scratch
 (virtio disk has ~2x write-throughput variance run-to-run), fresh JVM per
 level, identical input and heap.
 
-## Per-round driver serial work (what changed in round 2)
+## Per-round driver serial work (rounds 2-3 history)
 
-The round-1 profile charged ~17 s of a 79 s crawl to driver-side planning
-(host_cap probe 5.9 + dequeue_plan histogram 4.5 + dq_order collect 6.9).
-Round 2 fused these: ONE grouping-sets aggregation now yields the
-politeness probe AND the top-K histogram (frontier.plan_dequeue), the
-threshold walk's bucket offsets feed the lineage rank directly (no second
-histogram job), insert/page counts come from parquet footers (no read-back
-count jobs), and the pages new-vs-update split joins url_id-only scans
-instead of caching span payloads. Net: ~4 fewer Spark jobs and one fewer
-full eligible-set pass per round.
+Round 1 charged ~17 s of a 79 s crawl to driver-side planning; round 2
+fused the politeness probe + top-K histogram into ONE grouping-sets job
+and removed the read-back count jobs, but that job still scanned the whole
+eligible set every round — at local[8] `dequeue_plan` (26.7 s) + the
+dequeue barrier (14.1 s) were ~32% of wall and barely shrank with cores.
+
+Round 3 made the planning INCREMENTAL (planner.py): the driver holds the
+(priority, attempt, url_id-prefix) histogram and per-host counts, updated
+per round by exact integer algebra — minus the threshold walk's own taken
+cells, plus one small aggregation over the k-bounded ins-delta parquet.
+The full grouping-sets pass now runs once per bootstrap/resume; the only
+per-round pre-dequeue job is the beyond-cap correction over the few
+over-budget hosts' rows, and the dequeue filter reads the frontier parquet
+directly (status/priority row-group pushdown — the snapshot is written
+sorted by (status, priority DESC)) instead of materializing a multi-
+million-row executor cache. The ALLOWED/IGNORED link counters also moved
+into the ins-write job as observed metrics (CollectMetrics), deleting a
+separate full candidate pass. Same-session A/B at local[8] (4 rounds,
+800k URLs): wall 182.2 s → 130.6 s, dequeue_plan 52.9 s → 13.3 s.
 
 ## Iceberg probe (round 2, per VERDICT item 8)
 
