@@ -88,3 +88,25 @@ def test_incremental_without_budget(spark, tmp_path, monkeypatch):
     assert inc._planner.ready and inc._planner.hosts is None
     assert _order(inc) == _order(leg)
     assert inc.metrics_total() == leg.metrics_total()
+
+
+def test_incremental_dq_plan_pushes_down(spark, tmp_path, monkeypatch):
+    """The incremental path's dequeue plan reads the frontier parquet
+    DIRECTLY (no eligible cache) — so the threshold walk's class predicate
+    (priority/attempt) and the queued filter must reach the scan as
+    PushedFilters, and the scan must stay column-pruned. This is the plan
+    shape that makes skipping the per-round cache a win, not a regression."""
+    monkeypatch.setattr(FR, "_TOPK_THRESHOLD_CUTOFF", 0)
+    docs, _ = generate_web(n_articles=40, seed=21)
+    cfg = canonical_config(politeness=Politeness(budget_per_host_per_round=3), thread_count=4)
+    c = Crawler(spark, cfg, docs_to_spark(spark, docs), tmp_path)
+    c.run(max_rounds=2)
+    assert c._planner.ready
+    eligible = FR.eligible_raw(c.wh.read_frontier_queued(), cfg)
+    dq, _, _ = c._planner.plan(eligible, 8)
+    plan = dq._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "EqualTo(status,0)" in plan or "IsNotNull(status)" in plan, plan[:2000]
+    assert "priority" in plan.split("PushedFilters")[1][:400], plan[:2000]
+    # no InMemoryTableScan: the plan must read parquet, not a cache
+    assert "InMemoryTableScan" not in plan
