@@ -129,15 +129,28 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     stats = crawler.run(max_rounds=ROUNDS)
     elapsed = time.time() - t0
     processed = sum(s.dequeued for s in stats)
-    return {
+    out = {
         "frontier_n": FRONTIER_N,
         "page_repeat": PAGE_REPEAT,
         "rounds": ROUNDS,
         "urls_processed": processed,
         "seconds": round(elapsed, 2),
         "urls_per_sec": round(processed / elapsed, 1),
+        "round_seconds": [round(s.wall_seconds, 2) for s in stats],
         "phases": {k: round(v, 2) for k, v in sorted(crawler.phase_times.items())},
     }
+    # Steady-state view: round 1 pays one-time JVM/Catalyst/codegen warmup
+    # (classloading, Janino, JIT) that a production crawl amortizes over
+    # thousands of rounds; rounds ≥ 2 are the per-round cost a cluster
+    # actually repeats. Both views are reported — the ladder uses each.
+    if len(stats) >= 2:
+        steady_urls = sum(s.dequeued for s in stats[1:])
+        steady_secs = sum(s.wall_seconds for s in stats[1:])
+        if steady_secs > 0:
+            out["steady_urls_processed"] = steady_urls
+            out["steady_seconds"] = round(steady_secs, 2)
+            out["steady_urls_per_sec"] = round(steady_urls / steady_secs, 1)
+    return out
 
 
 QUERY_NAMES = [

@@ -50,6 +50,7 @@ class RoundStats:
     round_no: int
     dequeued: int = 0
     counters: dict[str, int] = field(default_factory=dict)
+    wall_seconds: float = 0.0  # run_round wall — steady-state vs warmup triage
 
     def add(self, name: str, value: int) -> None:
         if value:
@@ -547,7 +548,9 @@ class Crawler:
         t_start = time.time()
         while limit is None or rnd - start < limit:
             rnd += 1
+            _t_round = time.time()
             stats = self.run_round(rnd)
+            stats.wall_seconds = time.time() - _t_round
             self.history.append(stats)
             if verbose:
                 # C8 stats printer analog (DumbCrawler.java:196-231): one

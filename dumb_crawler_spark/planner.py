@@ -175,15 +175,10 @@ class IncrementalPlanner:
             return None
         hist_list = [(p, a, pfx, n) for (p, a, pfx), n in self.hist.items()]
         if over:
-            capped, beyond = FR.host_cap_split(eligible, self.cfg, over)
-            pre = F.substring("url_id", 1, self.prefix_len)
-            removed = beyond.groupBy("priority", "attempt", pre.alias("_p")).count().collect()
-            cells = dict(self.hist)
-            for r in removed:
-                key = (r["priority"], r["attempt"], r["_p"])
-                cells[key] = cells.get(key, 0) - r["count"]
-                assert cells[key] >= 0, f"incremental capped-histogram underflow at {key}"
-            hist_list = [(p, a, pfx, n) for (p, a, pfx), n in cells.items() if n > 0]
+            capped, hist_list = self._capped_by_algebra(eligible, over, budget)
+            if capped is None:
+                self.disabled = True
+                return None
         else:
             capped = eligible
         df, offsets, taken = FR._dequeue_threshold_ex(
@@ -191,6 +186,101 @@ class IncrementalPlanner:
         )
         self._pending = taken_cells_from_offsets(offsets, taken)
         return df.select(*FR.DEQUEUE_COLS), offsets, taken
+
+    def _capped_by_algebra(
+        self, eligible: DataFrame, over: list[str], budget: int
+    ) -> tuple[DataFrame | None, list[tuple] | None]:
+        """Politeness cap over the over-budget hosts WITHOUT the per-host
+        row_number window (a single-reducer sort of every hot host's rows —
+        the measured serial phase of the round). Instead: ONE parallel
+        aggregation yields each over host's (priority, attempt, url_id-prefix)
+        cell counts; the driver walks each host's cells in D2 order until the
+        budget is spent — whole cells above the boundary become a row-local
+        PREDICATE (no shuffle, no sort), and only the single boundary bucket
+        per host is topped off with a tiny TakeOrdered edge. Within a class,
+        ordering by (prefix, url_id) equals ordering by url_id — prefix
+        truncation preserves lexicographic order — so the result is
+        row-for-row identical to the window form (pinned by the
+        incremental-vs-legacy equality tests). The histogram correction
+        (cells the cap removed) falls out of the same walk arithmetically —
+        the old second collect job is gone. Scale shape: the aggregation is
+        map-side combined over only the skewed hosts' rows; nothing sorts
+        more than one prefix bucket (~rows/16^len) per host."""
+        pre = F.substring("url_id", 1, self.prefix_len)
+        cellrows = (
+            eligible.where(F.col("host").isin(over))
+            .groupBy("host", "priority", "attempt", pre.alias("_p"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .limit(FR._PLAN_COLLECT_LIMIT)
+            .collect()
+        )
+        if len(cellrows) >= FR._PLAN_COLLECT_LIMIT:
+            return None, None
+        by_host: dict[str, list[tuple[int, int, str, int]]] = {}
+        for r in cellrows:
+            by_host.setdefault(r["host"], []).append(
+                (r["priority"], r["attempt"], r["_p"], r["_n"])
+            )
+        cells = dict(self.hist)
+
+        def cell_sub(key: Cell, n: int) -> None:
+            cells[key] = cells.get(key, 0) - n
+            assert cells[key] >= 0, f"incremental capped-histogram underflow at {key}"
+
+        keep_when = None  # chained CASE host WHEN h THEN above-boundary-cell
+        edges: list[DataFrame] = []
+        for h, hcells in by_host.items():
+            hcells.sort(key=lambda c: (-c[0], c[1], c[2]))
+            total = sum(n for _, _, _, n in hcells)
+            assert total == self.hosts.get(h), (
+                f"incremental host-count drift at {h!r}: agg={total}, state={self.hosts.get(h)}"
+            )
+            left = budget
+            boundary = None
+            for idx, (p, a, pfx, n) in enumerate(hcells):
+                if left >= n:
+                    left -= n
+                else:
+                    boundary = idx
+                    break
+            if boundary is None:
+                continue  # whole host fits (can't happen while n > budget; harmless)
+            bp, ba, bpfx, bn = hcells[boundary]
+            # removed cells: the boundary's beyond-cap remainder + every cell after it
+            cell_sub((bp, ba, bpfx), bn - left)
+            for p, a, pfx, n in hcells[boundary + 1 :]:
+                cell_sub((p, a, pfx), n)
+            above = (
+                (F.col("priority") > bp)
+                | ((F.col("priority") == bp) & (F.col("attempt") < ba))
+                | (
+                    (F.col("priority") == bp)
+                    & (F.col("attempt") == ba)
+                    & (pre < bpfx)
+                )
+            )
+            keep_when = (
+                F.when(F.col("host") == h, above)
+                if keep_when is None
+                else keep_when.when(F.col("host") == h, above)
+            )
+            if left:
+                edges.append(
+                    eligible.where(
+                        (F.col("host") == h)
+                        & (F.col("priority") == bp)
+                        & (F.col("attempt") == ba)
+                        & (pre == bpfx)
+                    )
+                    .orderBy(F.asc("url_id"))
+                    .limit(left)
+                )
+        capped = eligible if keep_when is None else eligible.where(
+            keep_when.otherwise(F.lit(True))
+        )
+        for e in edges:
+            capped = capped.unionByName(e)
+        return capped, [(p, a, pfx, n) for (p, a, pfx), n in cells.items() if n > 0]
 
     # -- round feedback ---------------------------------------------------------
     def on_dequeued(self, host_counts: dict[str, int] | None) -> None:

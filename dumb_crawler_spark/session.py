@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Smaller file splits: the crawl's scan stages run compute-heavy
+        # per-row kernels (URL canonicalize/tag/hash over exploded links),
+        # so a 128 MB default split yields ~10 tasks for a round's fetch
+        # artifact — 2 ragged waves on 8+ cores (measured: 6 idle cores for
+        # a full wave, scripts/phase_jobs.py). 32 MB keeps scan stages at
+        # ≥2-3 tasks/core; AQE coalescing re-merges where they're too small.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # HotSpot refuses to JIT methods over 8 KB of bytecode
         # (-XX:DontCompileHugeMethods): a whole-stage-codegen method past
         # that limit runs INTERPRETED — measured 10-15x slowdowns on wide
