@@ -9,14 +9,16 @@ Frontier-shaped queries treat `events` as a frontier analog
 split) are identical to frontier.py's, which the golden pytest suite verifies
 against the reference semantics oracle.
 
-Non-SQL-expressible entries (full crawl rounds — golden-pinned instead —
-IVF k-means assignment, Arrow UDF feature extraction) have no oracle_sql()
-twin → driver records rows-only. dedup_ngram_jaccard is oracle-checked
-(round 2): shingle-set Jaccard reproduced quadratically in DuckDB with
-integer (shared, union_n) columns. Round 3 oracles the MinHash and SimHash
-VERIFY steps too: minhash emits the same integer counts and its 16×1-band
-recall makes the emitted set equal the quadratic one; simhash switches to
-an md5-derived 60-bit token hash that DuckDB recomputes bit-for-bit.
+The only rows-only entry left is crawl_flagship (the multi-round MERGE loop
+is not one SQL statement; golden-pinned by pytest). dedup_ngram_jaccard is
+oracle-checked (round 2): shingle-set Jaccard reproduced quadratically in
+DuckDB with integer (shared, union_n) columns. Round 3 oracled the MinHash
+and SimHash VERIFY steps (16×1-band recall equality; md5-derived 60-bit
+token hash DuckDB recomputes bit-for-bit). Round 4 oracles the last two ops:
+sim_ann_ivf via the exhaustive-probe identity (nprobe == nlist ⇒ IVF ≡
+brute top-k ≡ list_cosine_similarity SQL) and multimodal_features via
+md5-seed arithmetic (the synthetic generator's seed, kind, byte sizes and
+decode-derived dims are all pure SQL over md5(doc_id)).
 """
 
 from __future__ import annotations
@@ -332,18 +334,38 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_sim_ann_ivf(spark, sf):
+    """IVF index build (deterministic k-means) + probe, ORACLE-CHECKED
+    (round 4, VERDICT r03 item 4): with nprobe == nlist the probe is
+    EXHAUSTIVE — every list is scanned — so by the exhaustive-probe identity
+    the result must equal brute-force top-k, which IS DuckDB-expressible
+    (list_cosine_similarity). The whole IVF machinery (seeding, Lloyd
+    iterations, list_id assignment, per-list pruning plan) still executes;
+    the PRUNED path (nprobe < nlist) keeps its recall + determinism pytests
+    (test_ops), where approximation is asserted honestly."""
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     assigned, cents = SIM.build_ivf(emb, nlist=16)
-    return SIM.ivf_topk(assigned, cents, qvec, k=10, nprobe=4)
+    return SIM.ivf_topk(assigned, cents, qvec, k=10, nprobe=16)
 
 
 def q_multimodal_features(spark, sf):
     # REAL raw decode (round 2): PPM/WAV/DCV payloads built deterministically
     # per doc_id, decoded + featurized with the numpy codecs (ops/codecs.py);
-    # `decoder` records which codec actually ran (never 'fake' here)
+    # `decoder` records which codec actually ran (never 'fake' here).
+    # ORACLE-CHECKED (round 4, VERDICT r03 item 5): the generator seed is the
+    # top 32 bits of md5(doc_id), so kind, payload byte size and the
+    # DECODE-DERIVED dims (pixel width/height, PCM sample count) are all
+    # reproducible in DuckDB by pure seed arithmetic — the oracle recomputes
+    # what the Arrow decode must have seen, with zero Spark involvement.
+    # dims the decoder doesn't produce are -1 (not NULL) so the compare gate
+    # never sorts/hashes mixed None/int columns
     media = MM.synthetic_raw_media(_t(spark, sf, "documents"))
-    return MM.extract_features(media).select("media_id", "kind", "n_bytes", "sha1", "decoder")
+    feats = MM.extract_features(media)
+    dim = lambda c: F.coalesce(F.col(c), F.lit(-1)).alias(c)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        dim("dec_width"), dim("dec_height"), dim("dec_n_samples"), "decoder",
+    )
 
 
 def q_extract_links(spark, sf):
@@ -448,10 +470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,  # oracle-checked (round 3)
         "dedup_simhash": q_dedup_simhash,  # oracle-checked (round 3)
-        # rows-only (no oracle_sql — k-means seeding/Arrow decode/multi-round
-        # loop are genuinely not one SQL statement)
-        "sim_ann_ivf": q_sim_ann_ivf,
-        "multimodal_features": q_multimodal_features,
+        "sim_ann_ivf": q_sim_ann_ivf,  # oracle-checked (round 4): nprobe==nlist ≡ brute
+        "multimodal_features": q_multimodal_features,  # oracle-checked (round 4): md5-seed arithmetic
+        # rows-only (no oracle_sql — the multi-round MERGE loop is genuinely
+        # not one SQL statement; golden-pinned by pytest instead)
         "crawl_flagship": q_crawl_flagship,
     }
 
@@ -693,6 +715,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::VARCHAR AS media_id, octet_length(encode(text))::INT AS n_bytes,
                    substr(upper(hex(encode(text))), 1, 8) AS magic
             FROM documents
+        """,
+        # Exhaustive-probe identity (round 4): q_sim_ann_ivf probes ALL
+        # nlist lists, so IVF must equal brute-force cosine top-k — the
+        # independent DuckDB derivation never sees centroids or list_ids.
+        "sim_ann_ivf": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        # md5-seed arithmetic (round 4): reproduces the synthetic generator's
+        # kind mix, payload byte sizes (PPM header 9 B + dims digits + 3wh;
+        # WAV 44 B header + 2 B/sample; DCV0 8 B + 5×(4 + 445) frame bytes)
+        # and the DECODE-derived dims the Arrow UDF must have produced.
+        "multimodal_features": """
+            WITH s AS (
+              SELECT doc_id::VARCHAR AS media_id,
+                     (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS seed
+              FROM documents
+            )
+            SELECT media_id,
+              CASE seed % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+              (CASE seed % 3
+                 WHEN 0 THEN 9 + length((16 + seed % 32)::VARCHAR)
+                           + length((16 + (seed // 32) % 32)::VARCHAR)
+                           + 3 * (16 + seed % 32) * (16 + (seed // 32) % 32)
+                 WHEN 1 THEN 44 + 2 * (4000 + seed % 4000)
+                 ELSE 2253 END)::INT AS n_bytes,
+              (CASE seed % 3 WHEN 0 THEN 16 + seed % 32 WHEN 2 THEN 12 ELSE -1 END)::INT AS dec_width,
+              (CASE seed % 3 WHEN 0 THEN 16 + (seed // 32) % 32 WHEN 2 THEN 12 ELSE -1 END)::INT AS dec_height,
+              (CASE seed % 3 WHEN 1 THEN 4000 + seed % 4000 ELSE -1 END)::INT AS dec_n_samples,
+              CASE seed % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'dcv' END AS decoder
+            FROM s
         """,
     }
 

@@ -37,6 +37,11 @@ K_PER_ROUND = int(os.environ.get("BENCH_K", "200000"))
 # frontier machinery itself (the north-rule metric). Both get reported in
 # BENCH.md.
 PAGE_REPEAT = int(os.environ.get("BENCH_PAGE_REPEAT", "64"))
+# MoR compaction cadence (Crawler.compact_every). The default 16 never fires
+# within the 4-round headline bench; set e.g. 3 to measure a run that CROSSES
+# a compaction boundary — the amortized O(frontier) snapshot rewrite then
+# shows up as the `compact` phase in the output (VERDICT r03 item 8).
+COMPACT_EVERY = int(os.environ.get("BENCH_COMPACT_EVERY", "16"))
 
 
 def _force(df) -> None:
@@ -124,7 +129,7 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     wh.write_snapshot("frontier", 0, fr0)
     wh.commit_round(0, {"bootstrap": FRONTIER_N})
 
-    crawler = Crawler(spark, cfg, docs, tmpdir)
+    crawler = Crawler(spark, cfg, docs, tmpdir, compact_every=COMPACT_EVERY)
     t0 = time.time()
     stats = crawler.run(max_rounds=ROUNDS)
     elapsed = time.time() - t0
@@ -132,6 +137,7 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     out = {
         "frontier_n": FRONTIER_N,
         "page_repeat": PAGE_REPEAT,
+        "compact_every": COMPACT_EVERY,
         "rounds": ROUNDS,
         "urls_processed": processed,
         "seconds": round(elapsed, 2),

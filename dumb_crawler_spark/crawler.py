@@ -318,22 +318,33 @@ class Crawler:
                 )
                 allowed_cands = flagged.where(F.col("_ok")).drop("_ok")
             else:
-                link_cands = link_cands.cache()
+                # robots/bloom path: ONE aggregation over the cached verdict
+                # columns yields the F2 split AND the robots-blocked count —
+                # previously links_count plus two per-round full-candidate
+                # count() jobs on robots rounds (VERDICT r03 item 6). J6-NR
+                # robots gate rides as a broadcast-joined verdict column.
+                if self.robots is not None:
+                    from .robots import with_robots_verdict
+
+                    flagged = with_robots_verdict(flagged, self.robots)
+                else:
+                    flagged = flagged.withColumn("_robots_blocked", F.lit(False))
+                flagged = flagged.cache()
+                link_cands = flagged  # cached handle for the final unpersist
                 with self._phase("links_count"):
                     lc = (
-                        link_cands.withColumn("_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg))
-                        .groupBy("_ok").agg(F.count("*").alias("n")).collect()
+                        flagged.groupBy("_ok", "_robots_blocked")
+                        .agg(F.count("*").alias("n")).collect()
                     )
-                lcm = {r["_ok"]: r["n"] for r in lc}
-                out["ALLOWED_LINKS"] = lcm.get(True, 0)
-                out["IGNORED_LINKS"] = lcm.get(False, 0)
-                allowed_cands = FR.filter_allowed(link_cands, cfg)
-            if self.robots is not None:  # J6-NR robots path-prefix gate
-                from .robots import filter_robots_allowed
-
-                n_before = allowed_cands.count()
-                allowed_cands = filter_robots_allowed(allowed_cands, self.robots)
-                out["ROBOTS_BLOCKED_LINKS"] = n_before - allowed_cands.count()
+                out["ALLOWED_LINKS"] = sum(r["n"] for r in lc if r["_ok"])
+                out["IGNORED_LINKS"] = sum(r["n"] for r in lc if not r["_ok"])
+                if self.robots is not None:
+                    out["ROBOTS_BLOCKED_LINKS"] = sum(
+                        r["n"] for r in lc if r["_ok"] and r["_robots_blocked"]
+                    )
+                allowed_cands = flagged.where(
+                    F.col("_ok") & ~F.col("_robots_blocked")
+                ).drop("_ok", "_robots_blocked")
 
             seen_ids = self.wh.read_frontier_seen_ids(round_no - 1)
             bloom = None

@@ -58,24 +58,35 @@ def encode_dcv(frames: list[bytes]) -> bytes:
 
 # -- decode ------------------------------------------------------------------
 
+_PPM_HDR = None  # compiled lazily (keeps the module import numpy-only)
+
+
 def decode_ppm(payload: bytes) -> np.ndarray | None:
-    """P6 PPM → (h, w, 3) uint8, or None if not P6/malformed."""
-    if not payload.startswith(b"P6"):
+    """P6 PPM → (h, w, 3) uint8, or None if not P6/malformed.
+
+    The header is parsed STRUCTURALLY — magic, width, height, maxval, then
+    exactly ONE whitespace byte before the raster (the P6 spec). A naive
+    whitespace split corrupts any image whose first pixel byte happens to be
+    0x09-0x0d/0x20 (~6/256 of uniformly random rasters) by eating raster
+    bytes as separators — a real bug the round-4 DuckDB oracle caught.
+    (Comments unsupported — the synthetic corpus never writes them; a
+    commented PPM falls back.)"""
+    global _PPM_HDR
+    if _PPM_HDR is None:
+        import re
+
+        _PPM_HDR = re.compile(rb"^P6[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]")
+    m = _PPM_HDR.match(payload)
+    if m is None:
         return None
-    try:
-        # header tokens: magic, width, height, maxval (comments unsupported —
-        # the synthetic corpus never writes them; a commented PPM falls back)
-        parts = payload.split(maxsplit=4)
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-        if maxval != 255 or w <= 0 or h <= 0:
-            return None
-        raw = parts[4] if len(parts) > 4 else b""
-        need = w * h * 3
-        if len(raw) < need:
-            return None
-        return np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, 3)
-    except (ValueError, IndexError):
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255 or w <= 0 or h <= 0:
         return None
+    raw = payload[m.end():]
+    need = w * h * 3
+    if len(raw) < need:
+        return None
+    return np.frombuffer(raw[:need], dtype=np.uint8).reshape(h, w, 3)
 
 
 def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int] | None:

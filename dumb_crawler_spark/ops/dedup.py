@@ -283,6 +283,11 @@ def ngram_jaccard_pairs(
 _SPREAD = 1 | (1 << 15) | (1 << 30) | (1 << 45)
 _LANE_LO = 0x0001000100010001
 _LANE_BIAS = 0x4000_4000_4000_4000  # each lane starts at 16384
+# The 16-bit lane bias (0x4000) absorbs at most 16383 same-sign ±1 steps;
+# token 16384+ would underflow a lane and borrow into its neighbor (ADVICE
+# r03: verified corruption at 16385 same-sign tokens). Docs longer than this
+# take the exact unpacked fold below — same signature semantics, no bound.
+_PACK_MAX_TOKENS = 16383
 
 
 def _bit_mask(i: int) -> int:
@@ -309,19 +314,58 @@ def simhash64(text: Column, hash_fn: str = "xx64") -> Column:
     Per bit i: sign of Σ_tokens (bit_i(hash(token)) ? +1 : −1); packed into
     one bigint. All array higher-order functions — executes in codegen.
 
-    The fold state is LANE-PACKED (VERDICT r02 item 6): 16 longs of 4 ×
-    16-bit biased counters instead of 64 ints. Per token, nibble g of the
-    hash spreads to the 4 lanes of accumulator g via one multiply+mask, and
-    the ±1 per lane is (2·spread − 1-per-lane) added as a single 64-bit
-    term — branch-free, borrow-free thanks to the +16384 lane bias (exact
-    for docs up to 16383 tokens; corpus docs are orders of magnitude
-    shorter — shingle-scale text). The aggregate state is 4× smaller and
-    the per-token zip_with touches 16 elements instead of 64.
-    Each token is hashed exactly once (Catalyst does not CSE across lambda
-    instantiations — measured ~10× slower when inlined per bit).
-    """
+    Two folds, branched on token count (ONE evaluates per row — CASE WHEN is
+    lazy in codegen):
+    - ≤ ``_PACK_MAX_TOKENS``: the LANE-PACKED fold (VERDICT r02 item 6),
+      exact within the 16-bit lane bias headroom — the hot path for
+      corpus-scale docs.
+    - longer docs: the exact 64-int unpacked fold (32-bit counters, good to
+      2³¹ tokens) — ADVICE r03 found the packed lanes silently borrow into
+      neighbors past 16383 same-sign tokens, so the bound is now ENFORCED by
+      routing, not assumed. Both folds compute the identical signature where
+      their domains overlap (pinned by test)."""
     toks = F.split(normalize_text(text), " ")
     hashed = F.transform(toks, lambda t: _token_hash(t, hash_fn))
+    return F.when(
+        F.size(toks) <= F.lit(_PACK_MAX_TOKENS), _simhash_packed(hashed)
+    ).otherwise(_simhash_unpacked(hashed))
+
+
+def _simhash_unpacked(hashed: Column) -> Column:
+    """Exact SimHash fold for ANY token count: 64 int (32-bit) counters —
+    the pre-lane-packed form, kept as the oversized-doc fallback."""
+    bits = lambda h: F.array(
+        *[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+            for i in range(64)
+        ]
+    )
+    counts = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, bits(h), lambda a, b: a + b),
+    )
+    masks = F.array(*[F.lit(_bit_mask(i)).cast("long") for i in range(64)])
+    return F.aggregate(
+        F.zip_with(
+            counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def _simhash_packed(hashed: Column) -> Column:
+    """Lane-packed fold (VERDICT r02 item 6): 16 longs of 4 × 16-bit biased
+    counters instead of 64 ints. Per token, nibble g of the hash spreads to
+    the 4 lanes of accumulator g via one multiply+mask, and the ±1 per lane
+    is (2·spread − 1-per-lane) added as a single 64-bit term — branch-free,
+    borrow-free thanks to the +16384 lane bias (exact for docs up to
+    ``_PACK_MAX_TOKENS`` tokens; simhash64 routes longer docs to the
+    unpacked fold). The aggregate state is 4× smaller and the per-token
+    zip_with touches 16 elements instead of 64.
+    Each token is hashed exactly once (Catalyst does not CSE across lambda
+    instantiations — measured ~10× slower when inlined per bit)."""
     per_group = lambda h: F.array(
         *[
             (

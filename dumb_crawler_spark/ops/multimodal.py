@@ -48,6 +48,14 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("sha1", T.StringType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), True),
     T.StructField("decoder", T.StringType(), False),  # ppm|wav|dcv|fake
+    # decode-DERIVED dimensions (from the decoded pixels/samples, NOT the
+    # claimed metadata): image/video width+height, audio sample count. These
+    # make the decode path oracle-checkable — on the deterministic synthetic
+    # corpus DuckDB reproduces them from the md5 seed arithmetic alone
+    # (VERDICT r03 item 5). Null where the decoder doesn't apply.
+    T.StructField("dec_width", T.IntegerType(), True),
+    T.StructField("dec_height", T.IntegerType(), True),
+    T.StructField("dec_n_samples", T.IntegerType(), True),
 ])
 
 
@@ -71,13 +79,18 @@ def media_from_text(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def synthetic_raw_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL raw payloads — PPM images, WAV PCM16 audio, DCV0 raw video —
     deterministically seeded per id (mapInPandas batch generator, no external
-    data). The decode paths in extract_features run FOR REAL on this table."""
+    data). The decode paths in extract_features run FOR REAL on this table.
+
+    The per-id seed is the top 32 bits of md5(id) — md5 because DuckDB can
+    recompute it (``('0x' || substr(md5(id), 1, 8))::UBIGINT``), which makes
+    every seed-derived quantity (kind mix, image dims, sample counts, payload
+    byte sizes) independently oracle-checkable in SQL (VERDICT r03 item 5)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {k.name: [] for k in MEDIA_SCHEMA.fields}
             for mid in pdf[id_col].astype(str):
-                seed = int(hashlib.sha1(mid.encode()).hexdigest()[:8], 16)
+                seed = int(hashlib.md5(mid.encode()).hexdigest()[:8], 16)
                 rng = np.random.default_rng(seed)
                 which = seed % 3
                 if which == 0:
@@ -125,26 +138,32 @@ def _sample_frames(payload: bytes, n_frames: int = 4) -> list[bytes]:
     return [payload[i * step:(i + 1) * step] or b"\x00" for i in range(n_frames)]
 
 
-def _feature_of(kind: str, payload: bytes) -> tuple[list[float], str]:
-    """(feature vector, decoder tag). Routing is by MAGIC BYTES, not the
-    claimed kind — a mislabeled row decodes by what it actually is."""
+def _feature_of(
+    kind: str, payload: bytes
+) -> tuple[list[float], str, int | None, int | None, int | None]:
+    """(feature vector, decoder tag, decoded width, decoded height, decoded
+    sample count). Routing is by MAGIC BYTES, not the claimed kind — a
+    mislabeled row decodes by what it actually is. The dims come from the
+    DECODED arrays (pixels/samples), so they witness that the decode ran."""
     if payload.startswith(b"P6"):
         rgb = C.decode_ppm(payload)
         if rgb is not None:
-            return C.image_feature(rgb).tolist(), "ppm"
+            h, w = rgb.shape[:2]
+            return C.image_feature(rgb).tolist(), "ppm", w, h, None
     if payload[:4] == b"RIFF":
         wav = C.decode_wav_pcm16(payload)
         if wav is not None:
-            return C.audio_feature(wav[0]).tolist(), "wav"
+            return C.audio_feature(wav[0]).tolist(), "wav", None, None, len(wav[0])
     if payload[:4] == b"DCV0":
         frames = C.decode_dcv_frames(payload)
         if frames:
             pooled = np.stack([C.image_feature(fr) for fr in frames]).mean(axis=0)
-            return pooled.astype(np.float32).tolist(), "dcv"
+            h, w = frames[0].shape[:2]
+            return pooled.astype(np.float32).tolist(), "dcv", w, h, None
     if kind == "video":
         frames = [_fake_feature(fr) for fr in _sample_frames(payload)]
-        return [sum(col) / len(frames) for col in zip(*frames)], "fake"
-    return _fake_feature(payload), "fake"
+        return [sum(col) / len(frames) for col in zip(*frames)], "fake", None, None, None
+    return _fake_feature(payload), "fake", None, None, None
 
 
 def decoder_stats(features: DataFrame) -> dict[str, int]:
@@ -172,30 +191,42 @@ def extract_features(
     matter the partition size; raw formats (PPM/WAV/DCV0) decode for real
     (ops/codecs.py), video frames mean-pool, everything else takes the
     deterministic fallback and says so in ``decoder``. Pass ``metrics`` to
-    get the aggregate decoder_stats() (one extra action) — same observable-
-    cap convention as the dedup ops.
+    get the aggregate decoder_stats() — the output is CACHED first so the
+    expensive Arrow decode runs ONCE, serving both the stats action and the
+    caller's consumption (ADVICE r03: the uncached form re-decoded every
+    payload for the stats pass).
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            feats, decoders = [], []
+            feats, decoders, widths, heights, samples = [], [], [], [], []
             for kind, payload in zip(pdf["kind"], payloads):
                 payload = bytes(payload) if payload is not None else b""
-                vec, dec = _feature_of(kind, payload)
+                vec, dec, w, h, n = _feature_of(kind, payload)
                 feats.append(vec)
                 decoders.append(dec)
-            yield pd.DataFrame({
+                widths.append(w)
+                heights.append(h)
+                samples.append(n)
+            out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int32"),
                 "sha1": payloads.map(lambda b: hashlib.sha1(bytes(b) if b is not None else b"").hexdigest()),
                 "feature": feats,
                 "decoder": decoders,
+                "dec_width": widths,
+                "dec_height": heights,
+                "dec_n_samples": samples,
             })
+            for c in ("dec_width", "dec_height", "dec_n_samples"):
+                out[c] = out[c].astype("Int32")
+            yield out
 
     cols = ["media_id", "kind", "payload"]
     out = media.select(*cols).mapInPandas(fn, FEATURE_SCHEMA)
     if metrics is not None:
+        out = out.cache()
         metrics.update(decoder_stats(out))
     return out
 

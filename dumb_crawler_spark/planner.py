@@ -56,6 +56,16 @@ from .config import CrawlConfig
 
 Cell = tuple[int, int, str]  # (priority, attempt, url_id-prefix)
 
+# _capped_by_algebra builds one chained CASE branch + (up to) one TakeOrdered
+# edge subplan PER over-budget host — past a few dozen hosts the expression
+# tree's Catalyst analysis/codegen cost dominates the window sort it avoids
+# (VERDICT r03 item 3: a few hundred over hosts compiled a multi-thousand-
+# branch CASE well before the 10k disable bail). Beyond this cap the planner
+# keeps its driver-state algebra but caps via frontier.host_cap_split's
+# per-host window — which sorts ONLY the over hosts' rows — and corrects the
+# histogram with one small beyond-cells aggregation.
+_ALGEBRA_OVER_MAX = 64
+
 
 def taken_cells_from_offsets(
     offsets: list[tuple], planned_n: int
@@ -167,15 +177,25 @@ class IncrementalPlanner:
         when no host exceeds its budget)."""
         assert self.ready
         budget = self.cfg.politeness.budget_per_host_per_round
-        over = (
-            [h for h, n in self.hosts.items() if n > budget] if budget is not None else []
-        )
+        with self._lock:  # snapshot under the lock: on_inserts mutates these
+            # dicts from a sink-chain thread (ADVICE r03 lock discipline)
+            hist = dict(self.hist)
+            hosts = dict(self.hosts) if self.hosts is not None else None
+        over = [h for h, n in hosts.items() if n > budget] if budget is not None else []
         if len(over) > FR._OVER_HOST_INLINE_MAX:
             self.disabled = True
             return None
-        hist_list = [(p, a, pfx, n) for (p, a, pfx), n in self.hist.items()]
-        if over:
-            capped, hist_list = self._capped_by_algebra(eligible, over, budget)
+        hist_list = [(p, a, pfx, n) for (p, a, pfx), n in hist.items()]
+        if over and len(over) <= _ALGEBRA_OVER_MAX:
+            capped, hist_list = self._capped_by_algebra(eligible, over, budget, hist, hosts)
+            if capped is None:
+                self.disabled = True
+                return None
+        elif over:
+            # too many over hosts for inline CASE/edge subplans — per-host
+            # window over ONLY the over set (the skewed few), one beyond-
+            # cells aggregation corrects the histogram
+            capped, hist_list = self._capped_by_window(eligible, over, hist)
             if capped is None:
                 self.disabled = True
                 return None
@@ -187,8 +207,38 @@ class IncrementalPlanner:
         self._pending = taken_cells_from_offsets(offsets, taken)
         return df.select(*FR.DEQUEUE_COLS), offsets, taken
 
+    def _capped_by_window(
+        self, eligible: DataFrame, over: list[str], hist: dict[Cell, int]
+    ) -> tuple[DataFrame | None, list[tuple] | None]:
+        """Cap form for MANY over-budget hosts (> _ALGEBRA_OVER_MAX): the
+        per-host row_number window of frontier.host_cap_split, restricted to
+        the over hosts' rows — bounded plan size regardless of host count.
+        The histogram correction is one aggregation over the beyond-cap rows
+        (cells only, ≤ classes × 16^prefix_len — never per-host)."""
+        capped, beyond = FR.host_cap_split(eligible, self.cfg, over, None)
+        pre = F.substring("url_id", 1, self.prefix_len)
+        removed = (
+            beyond.groupBy("priority", "attempt", pre.alias("_p"))
+            .count()
+            .limit(FR._PLAN_COLLECT_LIMIT)
+            .collect()
+        )
+        if len(removed) >= FR._PLAN_COLLECT_LIMIT:
+            return None, None
+        cells = dict(hist)
+        for r in removed:
+            key = (r["priority"], r["attempt"], r["_p"])
+            cells[key] = cells.get(key, 0) - r["count"]
+            assert cells[key] >= 0, f"windowed capped-histogram underflow at {key}"
+        return capped, [(p, a, pfx, n) for (p, a, pfx), n in cells.items() if n > 0]
+
     def _capped_by_algebra(
-        self, eligible: DataFrame, over: list[str], budget: int
+        self,
+        eligible: DataFrame,
+        over: list[str],
+        budget: int,
+        hist: dict[Cell, int],
+        hosts: dict[str, int],
     ) -> tuple[DataFrame | None, list[tuple] | None]:
         """Politeness cap over the over-budget hosts WITHOUT the per-host
         row_number window (a single-reducer sort of every hot host's rows —
@@ -221,7 +271,7 @@ class IncrementalPlanner:
             by_host.setdefault(r["host"], []).append(
                 (r["priority"], r["attempt"], r["_p"], r["_n"])
             )
-        cells = dict(self.hist)
+        cells = dict(hist)
 
         def cell_sub(key: Cell, n: int) -> None:
             cells[key] = cells.get(key, 0) - n
@@ -232,8 +282,8 @@ class IncrementalPlanner:
         for h, hcells in by_host.items():
             hcells.sort(key=lambda c: (-c[0], c[1], c[2]))
             total = sum(n for _, _, _, n in hcells)
-            assert total == self.hosts.get(h), (
-                f"incremental host-count drift at {h!r}: agg={total}, state={self.hosts.get(h)}"
+            assert total == hosts.get(h), (
+                f"incremental host-count drift at {h!r}: agg={total}, state={hosts.get(h)}"
             )
             left = budget
             boundary = None

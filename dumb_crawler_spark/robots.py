@@ -46,10 +46,15 @@ def parse_robots_txt(host: str, text: str) -> dict:
     return {"host": host, "disallow": disallow, "crawl_delay_ms": delay_ms}
 
 
-def filter_robots_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop candidates whose path starts with a disallowed prefix for their
-    host. Hosts absent from robots are fully allowed. Broadcast join —
-    candidates never shuffle."""
+def with_robots_verdict(
+    candidates: DataFrame, robots: DataFrame, out: str = "_robots_blocked"
+) -> DataFrame:
+    """Candidates + a boolean ``out`` column: path starts with a disallowed
+    prefix for the row's host (hosts absent from robots are fully allowed).
+    Broadcast join — candidates never shuffle. Keeping the verdict as a
+    COLUMN lets callers fold block-counting into whatever aggregation they
+    already run instead of paying separate before/after count jobs
+    (VERDICT r03 item 6)."""
     path = F.try_parse_url(F.col("url"), F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
     joined = candidates.join(
@@ -59,7 +64,15 @@ def filter_robots_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame
         F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
         lambda p: path.startswith(p),
     )
-    return joined.where(~F.coalesce(blocked, F.lit(False))).drop("disallow")
+    return joined.withColumn(out, F.coalesce(blocked, F.lit(False))).drop("disallow")
+
+
+def filter_robots_allowed(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose path starts with a disallowed prefix for their
+    host (with_robots_verdict's verdict applied as a filter)."""
+    return with_robots_verdict(candidates, robots).where(
+        ~F.col("_robots_blocked")
+    ).drop("_robots_blocked")
 
 
 def host_budgets(robots: DataFrame, round_interval_ms: int, default_budget: int) -> DataFrame:

@@ -259,30 +259,53 @@ def stream_gated_ingest(
 
     The gate runs INSIDE the streaming query (its per-host token-bucket
     state lives in the checkpoint, so the budget holds across micro-batches
-    AND restarts); only admitted rows reach the foreachBatch merge, which
-    reuses the batch operators — rejected rows are simply not consumed this
-    window (a frontier re-feed would re-submit them later, exactly like the
-    batch engine re-dequeues beyond-cap rows next round).
+    AND restarts). Budget-rejected rows are NOT dropped (VERDICT r03 item 7
+    / ADVICE r03): the merge step PARKS them back into the incoming
+    directory with their event time bumped one window forward — the
+    streaming analog of the batch engine's beyond-cap rows staying QUEUED
+    for the next round's dequeue. Every candidate therefore eventually
+    merges (the gate admits ≥ budget ≥ 1 rows per host-window, so the
+    parked set drains), while no (host, window) ever exceeds its budget.
+    Park-file naming is deterministic per micro-batch (overwrite of
+    ``refeed=<batch_id>``), so a replayed foreachBatch is idempotent for
+    the park write exactly as the url_id MERGE is for the frontier; the
+    source reads the refeed subdirs via recursiveFileLookup.
     """
     from .urlkit import host_of, with_canonical_url
 
     wh = Warehouse(spark, warehouse_dir)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        urls = batch.where(F.col("admitted")).select("url")
-        last = wh.last_committed_round()
-        fr = wh.read_frontier(last) if last is not None else FR.empty_frontier(spark)
-        rnd = (last or 0) + 1
-        cands = FR.filter_allowed(FR.make_candidates(urls, cfg), cfg)
-        merged = FR.merge_new_links(fr, cands, cfg, rnd, depth=rnd)
-        wh.write_snapshot("frontier", rnd, merged.repartition(cfg.partitions, "part"))
-        wh.commit_round(rnd, {"stream_batch": batch_id})
+        batch = batch.persist()
+        try:
+            urls = batch.where(F.col("admitted")).select("url")
+            last = wh.last_committed_round()
+            fr = wh.read_frontier(last) if last is not None else FR.empty_frontier(spark)
+            rnd = (last or 0) + 1
+            cands = FR.filter_allowed(FR.make_candidates(urls, cfg), cfg)
+            merged = FR.merge_new_links(fr, cands, cfg, rnd, depth=rnd)
+            wh.write_snapshot("frontier", rnd, merged.repartition(cfg.partitions, "part"))
+            wh.commit_round(rnd, {"stream_batch": batch_id})
+            # re-feed: beyond-budget rows come back as next-window candidates
+            rejected = batch.where(~F.col("admitted")).select(
+                "url",
+                (F.col("ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")).alias("ts"),
+            )
+            rejected.write.mode("overwrite").parquet(
+                f"{incoming_dir}/refeed={batch_id}"
+            )
+        finally:
+            batch.unpersist()
 
     schema = T.StructType([
         T.StructField("url", T.StringType()),
         T.StructField("ts", T.TimestampType()),
     ])
-    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(incoming_dir)
+    )
     stream = with_canonical_url(stream, "url", "url").withColumn(
         "host", host_of(F.col("url"))
     )

@@ -90,6 +90,49 @@ def test_incremental_without_budget(spark, tmp_path, monkeypatch):
     assert inc.metrics_total() == leg.metrics_total()
 
 
+def test_planner_many_over_hosts_window_fallback(spark, monkeypatch):
+    """VERDICT r03 item 3 (adversarial): 500 over-budget hosts — a budget
+    modestly below typical host size, not degenerate — must NOT compile a
+    500-branch CASE + 500-way union (the algebra form); the planner falls
+    back to the bounded per-host window over just the over set, stays
+    enabled, and still equals the legacy fused plan row-for-row."""
+    import hashlib as _hl
+
+    from dumb_crawler_spark import planner as PL
+    from dumb_crawler_spark.config import CrawlConfig, Politeness
+    from dumb_crawler_spark.planner import IncrementalPlanner
+
+    monkeypatch.setattr(FR, "_TOPK_THRESHOLD_CUTOFF", 0)
+    budget, n_hosts, per_host = 2, 500, 4
+    rows = []
+    for h in range(n_hosts):
+        for j in range(per_host):
+            uid = _hl.md5(f"{h}-{j}".encode()).hexdigest()
+            rows.append((
+                uid, f"http://h{h}.example.com/{j}", f"h{h}.example.com",
+                ["t"], 0, 100 + (j % 2), 0, 0, 0, None, None, None, h % 8,
+            ))
+    fr = spark.createDataFrame(rows, FR.FRONTIER_SCHEMA)
+    cfg = CrawlConfig(politeness=Politeness(budget_per_host_per_round=budget))
+    eligible = FR.eligible_raw(fr, cfg)
+    pl = IncrementalPlanner(cfg)
+    assert pl.seed_from(eligible)
+    assert n_hosts > PL._ALGEBRA_OVER_MAX
+
+    def boom(*a, **kw):  # the inline-algebra form must not be chosen here
+        raise AssertionError("_capped_by_algebra called for 500 over hosts")
+
+    monkeypatch.setattr(pl, "_capped_by_algebra", boom)
+    res = pl.plan(eligible, 600)
+    assert res is not None and not pl.disabled
+    dq, _, taken = res
+    leg_df, _, leg_taken = FR.plan_dequeue(eligible, cfg, 600)
+    got = sorted(r["url_id"] for r in dq.collect())
+    want = sorted(r["url_id"] for r in leg_df.collect())
+    assert taken == leg_taken == 600
+    assert got == want
+
+
 def test_incremental_dq_plan_pushes_down(spark, tmp_path, monkeypatch):
     """The incremental path's dequeue plan reads the frontier parquet
     DIRECTLY (no eligible cache) — so the threshold walk's class predicate

@@ -233,6 +233,13 @@ def test_codecs_exact():
         assert C.decode_wav_pcm16(bad) is None
         assert C.decode_dcv_frames(bad) is None
 
+    # round-4 regression (caught by the multimodal DuckDB oracle): a raster
+    # whose FIRST byte is whitespace must decode — the old whitespace-split
+    # header parse ate raster bytes as separators and returned None
+    for b0 in (0x20, 0x0A, 0x09, 0x0D):
+        rgb_ws = np.full((4, 4, 3), b0, np.uint8)
+        assert np.array_equal(C.decode_ppm(C.encode_ppm(rgb_ws)), rgb_ws), hex(b0)
+
 
 def test_multimodal_real_decode(spark):
     """synthetic_raw_media payloads decode FOR REAL: decoder tag matches the
@@ -278,6 +285,37 @@ def test_simhash_bucket_cap_no_silent_drop(spark):
     assert not any(999 in p for p in pairs)
 
 
+def test_simhash_oversized_doc_exact(spark):
+    """ADVICE r03 (medium): the lane-packed fold corrupts signatures past
+    16383 same-sign tokens (lane underflow borrows into the neighbor).
+    simhash64 must route oversized docs to the exact unpacked fold:
+    - n identical tokens ⇒ every bit count is ±n ⇒ the signature IS the
+      token hash's bit pattern, for ANY n — so the 16385-token doc must
+      equal the 1-token doc (the packed-only fold provably violates this);
+    - equal mixes of two tokens ⇒ per-bit count = n·(±1±1) ⇒ bit set iff
+      BOTH hashes set it — count-independent, so the 2-token doc is the
+      oracle for the 16400-token mix."""
+    from dumb_crawler_spark.ops.dedup import _PACK_MAX_TOKENS, simhash64
+
+    n_big = _PACK_MAX_TOKENS + 2  # 16385: one past the first corrupting count
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha"),
+            (2, " ".join(["alpha"] * n_big)),
+            (3, "alpha beta"),
+            (4, " ".join(["alpha"] * 8200 + ["beta"] * 8200)),
+        ],
+        "doc_id int, text string",
+    )
+    for fn in ("xx64", "md5_60"):
+        sigs = {
+            r["doc_id"]: r["sig"]
+            for r in docs.select("doc_id", simhash64(F.col("text"), fn).alias("sig")).collect()
+        }
+        assert sigs[2] == sigs[1], fn
+        assert sigs[4] == sigs[3], fn
+
+
 def test_embedding_bucket_cap_no_silent_drop(spark):
     """Same treatment for embedding-LSH (VERDICT r02 item 3): a cluster of
     near-identical vectors — one bucket by construction — links every member
@@ -302,20 +340,24 @@ def test_embedding_bucket_cap_no_silent_drop(spark):
 
 
 def test_minhash_simhash_match_duckdb_oracle(spark):
-    """Round-3 pin for the driver gate: the oracled MinHash-verify and
-    md5_60-SimHash entry queries equal their independent DuckDB twins on
-    the sf0.001 driver table (the driver repeats this at sf0.01)."""
+    """Round-3/4 pin for the driver gate: the oracled MinHash-verify,
+    md5_60-SimHash, exhaustive-probe IVF and md5-seed multimodal entry
+    queries equal their independent DuckDB twins on the sf0.001 driver
+    tables (the driver repeats this at sf0.01)."""
     import duckdb
 
     import __spark_entry__ as E
 
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
-    )
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
     q, o = E.queries(), E.oracle_sql()
-    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+    for name in (
+        "dedup_minhash_lsh", "dedup_simhash", "sim_ann_ivf", "multimodal_features"
+    ):
         got = sorted(tuple(r) for r in q[name](spark, sf).collect())
         want = sorted(tuple(r) for r in con.execute(o[name]).fetchall())
         assert got == want and len(got) > 0, name

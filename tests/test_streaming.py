@@ -149,10 +149,14 @@ def test_politeness_gate_state_across_batches(spark, tmp_path):
 
 
 def test_stream_gated_ingest_end_to_end(spark, tmp_path):
-    """Continuous pipeline integration (round 3): files → URL kernel →
-    stateful politeness gate → frontier merge. The per-host budget must hold
-    ACROSS micro-batches (second run, same checkpoint: the window's budget
-    is already consumed), and only admitted URLs may reach the frontier."""
+    """Continuous pipeline integration (round 3 + the round-4 re-feed loop):
+    files → URL kernel → stateful politeness gate → frontier merge, with
+    budget-rejected rows PARKED back into the stream one window forward.
+    Across restarts on the same checkpoint: the per-host budget holds in
+    every event-time window (≤ 2 new frontier URLs per window here), AND
+    every candidate eventually merges — the batch engine's beyond-cap rows
+    re-dequeue next round; this is the streaming equivalent (VERDICT r03
+    item 7 / ADVICE r03: previously rejects were silently dropped)."""
     from dumb_crawler_spark.streaming import stream_gated_ingest
 
     cfg = canonical_config()
@@ -163,31 +167,30 @@ def test_stream_gated_ingest_end_to_end(spark, tmp_path):
             "url", F.col("ts").cast("timestamp")
         ).coalesce(1).write.mode("append").parquet(str(incoming))
 
-    # batch 1: 4 article candidates on site.example.com in one window, budget 2
-    push([(f"http://site.example.com/articles/{i}", "2024-01-01 00:00:10") for i in range(1, 5)])
-    q = stream_gated_ingest(
-        spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ck"),
-        budget_per_host=2, window_seconds=60,
-    )
-    q.awaitTermination(120)
-    wh = Warehouse(spark, tmp_path / "wh")
-    urls1 = {r["url"] for r in wh.read_frontier().collect()}
-    # gate admits the 2 smallest (ts, url) rows of the window
-    assert urls1 == {
-        "http://site.example.com/articles/1",
-        "http://site.example.com/articles/2",
-    }
+    def run():
+        q = stream_gated_ingest(
+            spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ck"),
+            budget_per_host=2, window_seconds=60,
+        )
+        q.awaitTermination(120)
+        return {r["url"] for r in Warehouse(spark, tmp_path / "wh").read_frontier().collect()}
 
-    # batch 2, same checkpoint: same-window rows are over budget (state
-    # carried), a next-window row refills
+    a = lambda i: f"http://site.example.com/articles/{i}"
+    # batch 1: 4 candidates in one window, budget 2 → the 2 smallest (ts, url)
+    # rows merge; 3 and 4 are parked into the next window (not dropped)
+    push([(a(i), "2024-01-01 00:00:10") for i in range(1, 5)])
+    assert run() == {a(1), a(2)}
+
+    # run 2: fresh rows 7 (same window w0 → over budget → parked) and
+    # 8 (window w1 @00:01:30), plus the parked 3,4 (@00:01:10). Window w1
+    # in (ts, url) order is [3, 4, 8] → 3,4 admitted, 8 parked to w2.
     push([
-        ("http://site.example.com/articles/7", "2024-01-01 00:00:30"),  # same window: reject
-        ("http://site.example.com/articles/8", "2024-01-01 00:01:30"),  # new window: admit
+        (a(7), "2024-01-01 00:00:30"),
+        (a(8), "2024-01-01 00:01:30"),
     ])
-    q2 = stream_gated_ingest(
-        spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ck"),
-        budget_per_host=2, window_seconds=60,
-    )
-    q2.awaitTermination(120)
-    urls2 = {r["url"] for r in Warehouse(spark, tmp_path / "wh").read_frontier().collect()}
-    assert urls2 == urls1 | {"http://site.example.com/articles/8"}
+    assert run() == {a(1), a(2), a(3), a(4)}
+    # run 3: parked 7 (w1, budget consumed → re-parked) + parked 8 (w2 → admit)
+    assert run() == {a(1), a(2), a(3), a(4), a(8)}
+    # run 4: parked 7 lands in w2 (one admission left: w2 used 1 of 2) → admit.
+    # EVERY candidate has now merged; no window ever exceeded budget 2.
+    assert run() == {a(i) for i in (1, 2, 3, 4, 7, 8)}
