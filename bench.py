@@ -42,6 +42,9 @@ PAGE_REPEAT = int(os.environ.get("BENCH_PAGE_REPEAT", "64"))
 # a compaction boundary — the amortized O(frontier) snapshot rewrite then
 # shows up as the `compact` phase in the output (VERDICT r03 item 8).
 COMPACT_EVERY = int(os.environ.get("BENCH_COMPACT_EVERY", "16"))
+# codegen warm-up A/B override: unset = Crawler's auto (on at ≥16-way
+# parallelism), "1" = force on, "0" = force off (round-4 JIT-convoy triage)
+WARMUP = os.environ.get("BENCH_WARMUP")
 
 
 def _force(df) -> None:
@@ -129,7 +132,10 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     wh.write_snapshot("frontier", 0, fr0)
     wh.commit_round(0, {"bootstrap": FRONTIER_N})
 
-    crawler = Crawler(spark, cfg, docs, tmpdir, compact_every=COMPACT_EVERY)
+    crawler = Crawler(
+        spark, cfg, docs, tmpdir, compact_every=COMPACT_EVERY,
+        warmup_codegen=None if WARMUP is None else WARMUP == "1",
+    )
     t0 = time.time()
     stats = crawler.run(max_rounds=ROUNDS)
     elapsed = time.time() - t0

@@ -69,6 +69,7 @@ class Crawler:
         round_interval_ms: int = 60_000,
         compact_every: int = 16,
         concurrent_sinks: bool = False,
+        warmup_codegen: bool | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -96,6 +97,22 @@ class Crawler:
         # seed pass. Applies to the large-k threshold path; legacy fused
         # planning remains for small-k / per-host-budget-table rounds.
         self._planner = IncrementalPlanner(cfg)
+        # First-execution JIT convoy guard (round-4 finding): the links-chain
+        # codegen class first executes in round 1 with EVERY core already
+        # running it interpreted — on a saturated 32-thread local run the
+        # C1/C2 compile of the big generated methods lags the wave, and the
+        # whole first stage burns ~30× CPU interpreted (measured: 585 s task
+        # CPU at local[32] vs 20 s at local[8] for identical work; rounds 2+
+        # reuse the compiled class and run fast). Running the IDENTICAL plan
+        # shape once over a 2-row artifact compiles those classes while the
+        # machine is idle, so the convoy never forms. Spark folds literals
+        # into codegen references, which is why one warm pass covers every
+        # round. Auto mode enables it only where the convoy exists (≥16
+        # concurrent tasks); a real cluster's executors warm the same way.
+        if warmup_codegen is None:
+            warmup_codegen = spark.sparkContext.defaultParallelism >= 16
+        self.warmup_codegen = warmup_codegen
+        self._warmed = False
         if self.robots is not None:
             from .robots import host_budgets
 
@@ -155,6 +172,54 @@ class Crawler:
         self.wh.commit_round(0, {"dequeued": 0, "seeded": len(self.cfg.seeds)})
         self.history.append(stats)
         return 0
+
+    def _fetch_artifact(self, allowed: DataFrame) -> DataFrame:
+        """J4+F5/F6+L2 fetch artifact plan (one row per allowed input row) —
+        shared by run_round and the codegen warm-up so both compile the SAME
+        generated classes."""
+        from .extract import BASE_PART_COLS, extract_links_with_base, with_base_parts
+
+        return (
+            with_base_parts(fetch_simulate(allowed, self.docs, self.cfg))
+            .withColumn("links", F.when(F.col("ok"), extract_links_with_base(F.col("spans"))))
+            .withColumn("n_links", F.size("links"))
+            .drop(*BASE_PART_COLS)
+        )
+
+    def _link_candidates(self, ok_rows: DataFrame) -> DataFrame:
+        """§3.2 link-ingest kernel over the fetch artifact (explode →
+        canonicalize/tag/score/hash) — the heaviest codegen class of a round;
+        shared with the warm-up pass."""
+        exploded = ok_rows.select(F.explode_outer("links").alias("url")).where(
+            F.col("url").isNotNull()
+        )
+        return FR.make_candidates(exploded, self.cfg)
+
+    def warmup(self) -> None:
+        """One 2-row pass through the round dataflow so its generated classes
+        JIT-compile while the machine is idle (see __init__ docstring; the
+        measured first-round interpreted convoy at local[32] was ~30× task
+        CPU). Uses the real operators over a real (tiny) fetch artifact so
+        the codegen source — hence the compiled class — matches the rounds'.
+        Leaves no state behind: the throwaway artifact is dropped, nothing
+        else is written."""
+        cfg = self.cfg
+        frq = self.wh.read_frontier_queued()
+        dq = FR.eligible_raw(frq, cfg).limit(2)
+        allowed = FR.retag_dequeued(dq, cfg).where(F.col("_allowed")).drop("_allowed")
+        with self._phase("warmup"):
+            self.wh.append_delta("fetch", 0, self._fetch_artifact(allowed))
+            try:
+                fetched = self.wh.read_delta("fetch", 0)
+                cands = self._link_candidates(fetched.where(F.col("ok")))
+                last = self.wh.last_committed_round() or 0
+                seen = self.wh.read_frontier_seen_ids(last).limit(2)
+                FR.new_link_rows(seen, cands, 1, depth=1).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            finally:
+                self.wh.drop_delta("fetch", 0)
+        self._warmed = True
 
     # -- one round ----------------------------------------------------------------
     def run_round(self, round_no: int) -> RoundStats:
@@ -262,16 +327,7 @@ class Crawler:
         # (measured: the cache build GC-thrashed local[32] into anti-scaling).
         # Downstream consumers each read only the columns they need.
         with self._phase("fetch_write"):
-            from .extract import BASE_PART_COLS, extract_links_with_base, with_base_parts
-
-            allowed_n = self.wh.append_delta(
-                "fetch",
-                round_no,
-                with_base_parts(fetch_simulate(allowed, self.docs, cfg))
-                .withColumn("links", F.when(F.col("ok"), extract_links_with_base(F.col("spans"))))
-                .withColumn("n_links", F.size("links"))
-                .drop(*BASE_PART_COLS),
-            )
+            allowed_n = self.wh.append_delta("fetch", round_no, self._fetch_artifact(allowed))
         if planned_n is not None:
             # fetch_simulate emits exactly one row per allowed input row, so
             # the artifact's footer count IS the T4-allowed count
@@ -292,10 +348,7 @@ class Crawler:
             # link-ingest (§3.2): explode → canonicalize/tag/score → F2
             # counters → J3 anti-join → ins delta
             out: dict[str, int] = {}
-            exploded = ok_rows.select(F.explode_outer("links").alias("url")).where(
-                F.col("url").isNotNull()
-            )
-            link_cands = FR.make_candidates(exploded, cfg)
+            link_cands = self._link_candidates(ok_rows)
             obs = None
             flagged = link_cands.withColumn(
                 "_ok", is_url_allowed(F.col("url"), F.col("tags"), cfg)
@@ -546,6 +599,8 @@ class Crawler:
         self, max_rounds: int | None = None, refetch: bool = False, verbose: bool = False
     ) -> list[RoundStats]:
         start = self.bootstrap()
+        if self.warmup_codegen and not self._warmed:
+            self.warmup()
         if refetch and start > 0:
             # C4 refetch-all reset (dormant in the reference: URLStore.java:60-68
             # hardcodes refetch=false — `UPDATE links SET status = 0`)

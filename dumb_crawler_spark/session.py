@@ -58,13 +58,23 @@ def get_spark(
         # that limit runs INTERPRETED — measured 10-15x slowdowns on wide
         # frontier plans. Capping hugeMethodLimit makes Spark fall back to
         # non-codegen execution for exactly those stages, which is merely
-        # ~2x slower and, critically, predictable.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # ~2x slower and, critically, predictable. Overridable for A/B
+        # (SPARK_GRAFT_HUGE_METHOD_LIMIT; round-4 warm-up-convoy triage).
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
         # the per-round eligible cache is read several times per round; RLE
         # re-decode on every pass showed up as a top CPU frame — trade memory
         # for decode-free columnar reads
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        # e.g. "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m"
+        # (in local[N] the driver JVM IS the executor, so these govern task
+        # execution too; used by the round-4 JIT warm-up-convoy experiments)
+        b = b.config("spark.driver.extraJavaOptions", java_opts)
     ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if ev_dir:  # per-stage metrics for the scaling report's CPU accounting
         os.makedirs(ev_dir, exist_ok=True)

@@ -393,6 +393,61 @@ into the ins-write job as observed metrics (CollectMetrics), deleting a
 separate full candidate pass. Same-session A/B at local[8] (4 rounds,
 800k URLs): wall 182.2 s → 130.6 s, dequeue_plan 52.9 s → 13.3 s.
 
+Round 4 (phase attribution of the HEAD ladder, per VERDICT item 1): event-log
+job forensics on a clean local[2]-vs-local[8] pair at the ladder input show
+**no single dominating serial phase remains** — every phase's effective
+parallelism sits at 4.2-6.9 of 8 cores (fetch_write 4.2, ins_write 6.9,
+dequeue 4.1, dq_order 5.5, dequeue_plan 3.9), while total task time inflates
+uniformly 353 s → 572 s (1.62×) going 2 → 8 cores with near-zero GC. That
+pair's efficiency (0.45) therefore factors as ≈ 0.62 (DRAM-bandwidth
+inflation, the probe's ceiling) × 0.73 (sub-full wave packing across many
+small stages). The engine-serial planning fraction that capped rounds 1-3 is
+gone; what remains is the box's memory system plus scheduling raggedness —
+the two components a real N→4N executor cluster (own memory controllers,
+deeper task queues per stage) specifically relieves.
+
+## Round-3 local[32] "regression" attributed (round 4, VERDICT item 2)
+
+Three fresh runs of the driver's exact crawl config (2M frontier, 4 rounds of
+k=200k, local[32], tmpfs) landed at 204.7 / 360.4 / 184.3 s (3,909 / 2,220 /
+4,340 URLs/s) — round 3's single 220.5 s (3,904 URLs/s) sits inside this
+spread, so no code regression exists (the round-3 same-session A/B already
+showed the code got faster). Per-stage event-log forensics (Executor CPU Time
+vs Run Time) attribute the round-level spikes to two distinct mechanisms:
+
+1. **First-execution JIT convoy (structural, now fixed).** The round-1
+   links-kernel stage burned **585-665 s of task CPU at local[32] vs 20 s at
+   local[8] for identical work** (cpu/run ≈ 0.88, zero GC) — all ~23 tasks
+   execute the brand-new whole-stage-codegen class interpreted (~30× CPU)
+   while the JIT compile lags behind 32 saturated cores; rounds 2+ reuse the
+   compiled class (26 s total) because Spark folds literals into codegen
+   references. Fix: `Crawler.warmup()` runs the identical plan shape over a
+   2-row artifact before round 1 (auto-enabled at ≥16-way parallelism,
+   6-10 s once). Controlled 1-round probe: round 1 = 35.1 s with
+   `ins_write` 4.1 s, vs 110 s / 62 s cold.
+2. **Multi-tenant steal windows (environmental).** Wandering round spikes
+   show cpu/run 0.2-0.6 (e.g. one run's round-3 fetch stage: 104 s wall,
+   40 s CPU) — co-tenant pressure, not engine work; under a heavy window the
+   deopt-recompile convoy can also re-form despite the warm-up (observed
+   once: 1,126 s CPU). Published, not averaged away.
+
+Alternating warm-up A/B at the driver config (best-of-3, same protocol as the
+ladder): **113.3 s / 7,063 URLs/s whole-run (8,689 steady) with warm-up** vs
+122.6 s / 6,528 without. All samples (s): on [247.2, 113.3, 269.6], off
+[242.1, 122.6, 193.4] — the first/third pairs straddle steal windows, which
+is exactly why the arms alternate. Clean-window HEAD throughput is therefore
+**7,063 URLs/s — 43% above the best previously published local[32] number**
+(round 2's 4,946); the round-3 "regression" was a convoy + noise artifact.
+
+## MoR compaction cost (round 4, VERDICT item 8)
+
+`BENCH_COMPACT_EVERY=3` crosses one compaction boundary inside the 4-round
+bench: the round-3 reconcile-and-rewrite of the full 2M-row frontier snapshot
+costs **10.8 s** (`compact` phase), amortized over `compact_every` rounds —
+at the default 16 that is <1 s/round here, and O(frontier/compact_every) per
+round at any scale. The boundary round's wall includes it; steady-state
+rounds do not.
+
 ## Iceberg probe (round 2, per VERDICT item 8)
 
 `find / -name '*iceberg*'` over the whole image plus `pyspark/jars`
