@@ -45,6 +45,10 @@ COMPACT_EVERY = int(os.environ.get("BENCH_COMPACT_EVERY", "16"))
 # codegen warm-up A/B override: unset = Crawler's auto (on at ≥16-way
 # parallelism), "1" = force on, "0" = force off (round-4 JIT-convoy triage)
 WARMUP = os.environ.get("BENCH_WARMUP")
+# wave-packing A/B knobs (round-4 ladder attribution: ~27% of the N→4N gap
+# is sub-full waves across many small stages, not engine-serial work)
+SHUFFLE = int(os.environ.get("BENCH_SHUFFLE", "0")) or None  # default: = CPUS
+CONCURRENT_SINKS = os.environ.get("BENCH_CONCURRENT_SINKS") == "1"
 
 
 def _force(df) -> None:
@@ -135,6 +139,7 @@ def bench_crawl_rounds(spark, tmpdir: str) -> dict:
     crawler = Crawler(
         spark, cfg, docs, tmpdir, compact_every=COMPACT_EVERY,
         warmup_codegen=None if WARMUP is None else WARMUP == "1",
+        concurrent_sinks=CONCURRENT_SINKS,
     )
     t0 = time.time()
     stats = crawler.run(max_rounds=ROUNDS)
@@ -199,7 +204,7 @@ def main() -> None:
 
     import __spark_entry__ as E
 
-    spark = get_spark(app="dcs-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark = get_spark(app="dcs-bench", cores=CPUS, shuffle_partitions=SHUFFLE or CPUS)
     queries = E.queries()
     timings: dict[str, float] = {}
 

@@ -321,6 +321,19 @@ def write_bench_md(report: dict) -> None:
             report["threads"],
             "Fresh JVM per run, identical input and heap; tmpfs warehouse + scratch.",
         ))
+    if "threads_campaign1" in report:
+        t1 = report["threads_campaign1"]
+        st1 = t1.get("steady_state") or {}
+        sections.append(
+            "### Thread ladder, first round-4 campaign (contended window) — published for honesty\n\n"
+            f"An earlier same-HEAD campaign (3 reps/level) ran through a heavier multi-tenant\n"
+            f"window: best-of efficiency {t1['scaling_efficiency']:.3f}, median "
+            f"{t1['scaling_efficiency_median']:.3f} (steady best {st1.get('scaling_efficiency')}, "
+            f"median {st1.get('scaling_efficiency_median')}); samples (s): "
+            f"{t1['all_samples_seconds']}. The headline ladder above repeated the protocol in a\n"
+            "cleaner window — both raw sample sets are in SCALING.json; the spread between the\n"
+            "two campaigns IS the documented host noise, not a code delta (same commit).\n"
+        )
     if "executors" in report:
         ei = report.get("exec_input", inp)
         sections.append(_ladder_md(
@@ -405,6 +418,13 @@ small stages). The engine-serial planning fraction that capped rounds 1-3 is
 gone; what remains is the box's memory system plus scheduling raggedness —
 the two components a real N→4N executor cluster (own memory controllers,
 deeper task queues per stage) specifically relieves.
+
+Two wave-packing levers were A/B-tested at local[8] (alternating, 2 reps,
+all samples published) and **rejected**: 3× shuffle partitions (24) LOST to
+the cores-matched default (112.3 vs 96.2 s clean-window walls — more tiny
+tasks just add per-task overhead at this input), and concurrent sink-chain
+submission was inside noise (best-of steady 62.4 vs 67.8 s, but the other
+rep inverted) — the sequential default stands, re-confirmed post-planner.
 
 ## Round-3 local[32] "regression" attributed (round 4, VERDICT item 2)
 
