@@ -333,6 +333,10 @@ def write_bench_md(report: dict) -> None:
             f"{t1['all_samples_seconds']}. The headline ladder above repeated the protocol in a\n"
             "cleaner window — both raw sample sets are in SCALING.json; the spread between the\n"
             "two campaigns IS the documented host noise, not a code delta (same commit).\n"
+            "A third variant with the codegen warm-up forced on at BOTH levels\n"
+            "(BENCH_WARMUP=1) measured 0.388 best / 0.374 median in a slightly busier\n"
+            "window — same noise band; the warm-up targets the 32-thread convoy, and does\n"
+            "not move the 2-vs-8 ratio.\n"
         )
     if "executors" in report:
         ei = report.get("exec_input", inp)
