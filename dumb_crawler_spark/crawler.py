@@ -44,6 +44,10 @@ from .storage import Warehouse
 
 PAGES_SCHEMA_COLS = ("url_id", "url", "round", "spans", "fetched_round")
 
+# auto-warmup threshold: below this frontier size a round's first wave is
+# small enough that the cold-codegen convoy costs less than the warm pass
+_WARMUP_MIN_FRONTIER = 50_000
+
 
 @dataclass
 class RoundStats:
@@ -109,9 +113,17 @@ class Crawler:
         # into codegen references, which is why one warm pass covers every
         # round. Auto mode enables it only where the convoy exists (≥16
         # concurrent tasks); a real cluster's executors warm the same way.
-        if warmup_codegen is None:
-            warmup_codegen = spark.sparkContext.defaultParallelism >= 16
-        self.warmup_codegen = warmup_codegen
+        # auto mode warms only when (a) enough concurrent tasks exist for the
+        # convoy to form (≥16-way) and (b) the frontier is big enough that a
+        # round's first wave outweighs the one-time ~5-10 s warm pass — a
+        # tiny corpus pays the convoy in milliseconds either way (run()
+        # checks the bootstrap row count against _WARMUP_MIN_FRONTIER).
+        self._warmup_auto = warmup_codegen is None
+        self.warmup_codegen = (
+            spark.sparkContext.defaultParallelism >= 16
+            if warmup_codegen is None
+            else warmup_codegen
+        )
         self._warmed = False
         if self.robots is not None:
             from .robots import host_budgets
@@ -151,27 +163,29 @@ class Crawler:
     # -- bootstrap / resume ----------------------------------------------------
     def bootstrap(self) -> int:
         """Seed injection (S2) as round 0, or resume from the last committed
-        round (S3 frontier-scan; A6 latest-session max)."""
-        last = self.wh.last_committed_round()
-        if last is not None:
-            self.wh.rollback_uncommitted()
-            self._fr_count = self.wh.read_frontier(last).count()
-            return last
-        seeds_df = self.spark.createDataFrame(
-            [(s,) for s in self.cfg.seeds], T.StructType([T.StructField("url", T.StringType())])
-        )
-        cands = FR.make_candidates(seeds_df, self.cfg, seeds=True)
-        stats = RoundStats(0)
-        non_http = cands.where(~F.col("url").startswith("http")).count()
-        stats.add("IGNORED_URLS", non_http)
-        fr = FR.merge_new_links(FR.empty_frontier(self.spark), cands, self.cfg, 0, depth=0)
-        self._write_frontier(0, fr)
-        self._fr_count = self.wh.read_snapshot("frontier", 0).count()
-        stats.add("DISCOVERED_URLS", self._fr_count)
-        self._append_metrics(0, stats)
-        self.wh.commit_round(0, {"dequeued": 0, "seeded": len(self.cfg.seeds)})
-        self.history.append(stats)
-        return 0
+        round (S3 frontier-scan; A6 latest-session max). Phase-tagged so
+        event-log attribution separates one-time setup from round work."""
+        with self._phase("bootstrap"):
+            last = self.wh.last_committed_round()
+            if last is not None:
+                self.wh.rollback_uncommitted()
+                self._fr_count = self.wh.read_frontier(last).count()
+                return last
+            seeds_df = self.spark.createDataFrame(
+                [(s,) for s in self.cfg.seeds], T.StructType([T.StructField("url", T.StringType())])
+            )
+            cands = FR.make_candidates(seeds_df, self.cfg, seeds=True)
+            stats = RoundStats(0)
+            non_http = cands.where(~F.col("url").startswith("http")).count()
+            stats.add("IGNORED_URLS", non_http)
+            fr = FR.merge_new_links(FR.empty_frontier(self.spark), cands, self.cfg, 0, depth=0)
+            self._write_frontier(0, fr)
+            self._fr_count = self.wh.read_snapshot("frontier", 0).count()
+            stats.add("DISCOVERED_URLS", self._fr_count)
+            self._append_metrics(0, stats)
+            self.wh.commit_round(0, {"dequeued": 0, "seeded": len(self.cfg.seeds)})
+            self.history.append(stats)
+            return 0
 
     def _fetch_artifact(self, allowed: DataFrame) -> DataFrame:
         """J4+F5/F6+L2 fetch artifact plan (one row per allowed input row) —
@@ -599,7 +613,9 @@ class Crawler:
         self, max_rounds: int | None = None, refetch: bool = False, verbose: bool = False
     ) -> list[RoundStats]:
         start = self.bootstrap()
-        if self.warmup_codegen and not self._warmed:
+        if self.warmup_codegen and not self._warmed and (
+            not self._warmup_auto or self._fr_count >= _WARMUP_MIN_FRONTIER
+        ):
             self.warmup()
         if refetch and start > 0:
             # C4 refetch-all reset (dormant in the reference: URLStore.java:60-68
