@@ -341,11 +341,35 @@ def q_sim_ann_ivf(spark, sf):
     (list_cosine_similarity). The whole IVF machinery (seeding, Lloyd
     iterations, list_id assignment, per-list pruning plan) still executes;
     the PRUNED path (nprobe < nlist) keeps its recall + determinism pytests
-    (test_ops), where approximation is asserted honestly."""
+    (test_ops), where approximation is asserted honestly.
+
+    Oracle-equality determinism of round(cosine, 4) (ADVICE r04): both
+    engines compute dot/norms in FLOAT64 over float32 inputs cast per
+    element (similarity._as_double; the oracle's ::DOUBLE[] cast), so the
+    engines' raw cosines agree to ~1 ulp (~1e-16 rel); a rounding flip
+    needs a value within that of a 0.00005 boundary, and the driver's
+    inputs are FIXED parquet — the comparison is deterministic per dataset,
+    not a per-run coin flip. Ordering can't flip either: both sides order
+    by the ROUNDED value with vec_id as an exact tiebreak."""
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     assigned, cents = SIM.build_ivf(emb, nlist=16)
     return SIM.ivf_topk(assigned, cents, qvec, k=10, nprobe=16)
+
+
+def q_sim_ann_ivf_pruned(spark, sf):
+    """The ANN FAST PATH the operator exists for (ADVICE r04): nprobe=4 of
+    nlist=16 — scans ~1/4 of the lists via the list_id partition-pruning
+    plan. Genuinely approximate, so NO oracle_sql twin (the driver records
+    the weaker rows-only check); recall ≥ 0.8 vs brute force and exact
+    determinism are pinned by pytest (test_ops::test_ivf_topk_recall,
+    test_ops::test_ivf_kmeans_deterministic).
+    Benched so the headline suite tracks the pruned plan's cost, not just
+    the exhaustive oracle variant."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    assigned, cents = SIM.build_ivf(emb, nlist=16)
+    return SIM.ivf_topk(assigned, cents, qvec, k=10, nprobe=4)
 
 
 def q_multimodal_features(spark, sf):
@@ -471,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,  # oracle-checked (round 3)
         "dedup_simhash": q_dedup_simhash,  # oracle-checked (round 3)
         "sim_ann_ivf": q_sim_ann_ivf,  # oracle-checked (round 4): nprobe==nlist ≡ brute
+        # rows-only BY DESIGN (approximate ANN path, no SQL twin; pytest pins
+        # recall + determinism) — benched so the pruned plan's cost is tracked
+        "sim_ann_ivf_pruned": q_sim_ann_ivf_pruned,
         "multimodal_features": q_multimodal_features,  # oracle-checked (round 4): md5-seed arithmetic
         # rows-only (no oracle_sql — the multi-round MERGE loop is genuinely
         # not one SQL statement; golden-pinned by pytest instead)

@@ -191,6 +191,7 @@ QUERY_NAMES = [
     "text_quality",
     "sim_topk_cosine",
     "sim_ann_ivf",
+    "sim_ann_ivf_pruned",
     "embed_cosine_dups",
     "multimodal_features",
     "crawl_flagship",

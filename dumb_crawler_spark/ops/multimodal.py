@@ -182,7 +182,8 @@ def decoder_stats(features: DataFrame) -> dict[str, int]:
 
 
 def extract_features(
-    media: DataFrame, batch_hint: int = 1024, metrics: dict | None = None
+    media: DataFrame, batch_hint: int = 1024, metrics: dict | None = None,
+    keep_cached: bool = False,
 ) -> DataFrame:
     """mapInPandas feature extraction: bytes → (n_bytes, sha1, feature vec,
     decoder tag).
@@ -191,10 +192,12 @@ def extract_features(
     matter the partition size; raw formats (PPM/WAV/DCV0) decode for real
     (ops/codecs.py), video frames mean-pool, everything else takes the
     deterministic fallback and says so in ``decoder``. Pass ``metrics`` to
-    get the aggregate decoder_stats() — the output is CACHED first so the
-    expensive Arrow decode runs ONCE, serving both the stats action and the
-    caller's consumption (ADVICE r03: the uncached form re-decoded every
-    payload for the stats pass).
+    get the aggregate decoder_stats() — the output is CACHED for the stats
+    action so the expensive Arrow decode runs once (ADVICE r03: the
+    uncached form re-decoded every payload), then UNPERSISTED eagerly so
+    repeated calls don't accumulate cached RDDs (ADVICE r04). A caller that
+    will ALSO consume the returned rows passes ``keep_cached=True`` and
+    owns the unpersist of the returned (cached) handle.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -228,6 +231,8 @@ def extract_features(
     if metrics is not None:
         out = out.cache()
         metrics.update(decoder_stats(out))
+        if not keep_cached:
+            out.unpersist()
     return out
 
 

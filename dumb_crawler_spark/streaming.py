@@ -242,6 +242,29 @@ def stream_politeness_gate(
     return writer.start()
 
 
+def _prune_drained_refeeds(incoming_dir: str, batch_id: int, margin: int = 2) -> None:
+    """Delete park dirs whose contents the file source has already committed.
+
+    ``refeed=b`` is written while batch ``b`` processes and first LISTED as
+    input for batch ``b+1``; once the query is executing batch ``batch_id``,
+    every batch ≤ batch_id−1 is committed, so dirs with ``b ≤ batch_id−2``
+    can never be re-read — not even by a crash-replay of the CURRENT batch
+    (which needs only ``refeed=batch_id−1``). Local filesystem only (the
+    sandbox case); a cloud deployment would use the source's ``cleanSource``
+    retention instead. Idempotent under replay by construction."""
+    import re
+    import shutil
+    from pathlib import Path
+
+    root = Path(incoming_dir.removeprefix("file:"))
+    if not root.is_dir():
+        return
+    for d in root.glob("refeed=*"):
+        m = re.fullmatch(r"refeed=(\d+)", d.name)
+        if m and int(m.group(1)) <= batch_id - margin:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def stream_gated_ingest(
     spark: SparkSession,
     cfg: CrawlConfig,
@@ -270,6 +293,24 @@ def stream_gated_ingest(
     ``refeed=<batch_id>``), so a replayed foreachBatch is idempotent for
     the park write exactly as the url_id MERGE is for the frontier; the
     source reads the refeed subdirs via recursiveFileLookup.
+
+    Two park details matter for the guarantee (ADVICE r04):
+
+    - **Watermark clamp.** The gate input is watermarked at (max event time
+      − window). A rejected row whose own ts lags the stream's max by >2
+      windows (multi-host event-time skew) would re-enter BELOW the
+      watermark if parked at ``ts + window`` and be dropped as late data —
+      silently violating "every candidate eventually merges". The park
+      therefore bumps to ``greatest(ts + window, max batch event time)``:
+      never below the watermark the batch itself advanced, while the
+      no-skew case keeps the exact next-window semantics. (A row can still
+      be out-skewed by data arriving WHILE it is parked; each re-park
+      re-clamps to the then-current max, so it converges rather than drops.)
+    - **Bounded park dirs.** A batch with zero rejections writes no park
+      dir at all (deterministic, so replay-idempotent), and drained park
+      dirs two micro-batches old — whose contents the source committed at
+      least one batch ago — are pruned, so a long-running stream's listing
+      cost stays proportional to in-flight parked data, not stream age.
     """
     from .urlkit import host_of, with_canonical_url
 
@@ -286,14 +327,24 @@ def stream_gated_ingest(
             merged = FR.merge_new_links(fr, cands, cfg, rnd, depth=rnd)
             wh.write_snapshot("frontier", rnd, merged.repartition(cfg.partitions, "part"))
             wh.commit_round(rnd, {"stream_batch": batch_id})
-            # re-feed: beyond-budget rows come back as next-window candidates
-            rejected = batch.where(~F.col("admitted")).select(
-                "url",
-                (F.col("ts") + F.expr(f"INTERVAL {window_seconds} SECONDS")).alias("ts"),
-            )
-            rejected.write.mode("overwrite").parquet(
-                f"{incoming_dir}/refeed={batch_id}"
-            )
+            # re-feed: beyond-budget rows come back as next-window candidates,
+            # clamped above the watermark this batch advanced (see docstring)
+            agg = batch.agg(
+                F.max("ts").alias("mx"),
+                F.sum((~F.col("admitted")).cast("long")).alias("n_rej"),
+            ).collect()[0]
+            if agg["n_rej"]:
+                rejected = batch.where(~F.col("admitted")).select(
+                    "url",
+                    F.greatest(
+                        F.col("ts") + F.expr(f"INTERVAL {window_seconds} SECONDS"),
+                        F.lit(agg["mx"]),
+                    ).alias("ts"),
+                )
+                rejected.write.mode("overwrite").parquet(
+                    f"{incoming_dir}/refeed={batch_id}"
+                )
+            _prune_drained_refeeds(incoming_dir, batch_id)
         finally:
             batch.unpersist()
 

@@ -194,3 +194,48 @@ def test_stream_gated_ingest_end_to_end(spark, tmp_path):
     # run 4: parked 7 lands in w2 (one admission left: w2 used 1 of 2) → admit.
     # EVERY candidate has now merged; no window ever exceeded budget 2.
     assert run() == {a(i) for i in (1, 2, 3, 4, 7, 8)}
+
+
+def test_stream_gated_ingest_skewed_hosts_no_late_drop(spark, tmp_path):
+    """ADVICE r04 (medium): with multi-host EVENT-TIME SKEW, a budget-rejected
+    row from the laggard host re-fed at ts+window would land below the
+    watermark the leading host advanced (max event − window) and be silently
+    dropped as late data. The park clamp (greatest(ts + window, batch max
+    event time)) must keep the drain guarantee: every candidate merges."""
+    import os
+
+    from dumb_crawler_spark.streaming import stream_gated_ingest
+
+    cfg = canonical_config()
+    incoming = tmp_path / "in"
+
+    def push(rows):
+        spark.createDataFrame(rows, "url string, ts string").select(
+            "url", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(str(incoming))
+
+    def run():
+        q = stream_gated_ingest(
+            spark, cfg, str(tmp_path / "wh"), str(incoming), str(tmp_path / "ck"),
+            budget_per_host=2, window_seconds=60,
+        )
+        q.awaitTermination(120)
+        return {r["url"] for r in Warehouse(spark, tmp_path / "wh").read_frontier().collect()}
+
+    a = lambda i: f"http://site.example.com/articles/{i}"   # laggard host
+    b = lambda i: f"http://hot.example.com/articles/{i}"  # leading host
+    # host A: 4 candidates in window 00:00 (budget 2 → 2 parked). Host B's
+    # lone row sits 10 minutes AHEAD, so the batch watermark lands at 00:09 —
+    # far above A's next window (00:01). The unclamped park would re-feed
+    # A's rejects at 00:01:10 < watermark → dropped before the gate.
+    push([(a(i), "2024-01-01 00:00:10") for i in range(1, 5)]
+         + [(b(1), "2024-01-01 00:10:00")])
+    assert run() == {a(1), a(2), b(1)}
+    # parked 3,4 re-enter clamped to ≥ 00:10:00 — a fresh window, both admit
+    assert run() == {a(1), a(2), a(3), a(4), b(1)}
+    # drained park dirs from committed batches are pruned (bounded listing);
+    # only dirs within the safety margin of the newest batch may remain
+    refeeds = sorted(
+        int(d.split("=")[1]) for d in os.listdir(incoming) if d.startswith("refeed=")
+    )
+    assert all(r >= max(refeeds, default=0) - 1 for r in refeeds)
