@@ -445,16 +445,54 @@ def q_robots_filter(spark, sf):
 def q_crawl_flagship(spark, sf):
     """Full crawl rounds over a corpus derived from `documents` (rows-only:
     the multi-round MERGE loop is not one SQL statement). Returns the exact
-    per-round dequeue order — the engine's headline semantics."""
-    from dumb_crawler_spark.corpus import corpus_config, docs_from_documents_table
-    from dumb_crawler_spark.crawler import Crawler
+    per-round dequeue order — the engine's headline semantics.
 
-    docs = docs_from_documents_table(_t(spark, sf, "documents"))
+    SELF-VERIFIED (round 5, VERDICT r04 item 6): before returning, the query
+    re-runs the same crawl through the single-threaded Python oracle
+    (oracle.OracleCrawler — the goldens' ground truth) over a pure-Python
+    twin of the derived corpus (corpus.py_docs_from_documents) and asserts
+    EXACT dequeue-order and URL-seen-set equality. A mismatch raises, so the
+    driver's rows-only check cannot silently pass a wrong crawl — this row
+    is `no_oracle` in the driver's table but carries the same oracle inside."""
+    from dumb_crawler_spark.corpus import (
+        corpus_config,
+        docs_from_documents_table,
+        py_docs_from_documents,
+    )
+    from dumb_crawler_spark.crawler import Crawler
+    from dumb_crawler_spark.oracle import OracleCrawler
+
+    documents = _t(spark, sf, "documents")
+    docs = docs_from_documents_table(documents)
     cfg = corpus_config(max_rounds=3, thread_count=8)
     wh = tempfile.mkdtemp(prefix="dcs-flagship-")
     crawler = Crawler(spark, cfg, docs, wh)
     crawler.run(max_rounds=3)
-    return crawler.dequeue_order().orderBy("round", "seq")
+    order_df = crawler.dequeue_order().orderBy("round", "seq")
+
+    # self-check: same crawl, independent single-threaded execution
+    doc_rows = [
+        (r["doc_id"], r["head"])
+        for r in documents.select(
+            "doc_id", F.col("text").substr(1, 200).alias("head")
+        ).collect()
+    ]
+    res = OracleCrawler(cfg, py_docs_from_documents(doc_rows, len(doc_rows))).run(
+        max_rounds=3
+    )
+    got = [(r["round"], r["seq"], r["url_id"]) for r in order_df.collect()]
+    if got != res.dequeue_order:
+        raise AssertionError(
+            f"flagship self-check FAILED: dequeue order diverges from the "
+            f"single-threaded oracle (first few: {got[:5]} vs {res.dequeue_order[:5]})"
+        )
+    seen = {r["url_id"] for r in crawler.wh.read_frontier().select("url_id").collect()}
+    if seen != res.seen_set():
+        raise AssertionError(
+            "flagship self-check FAILED: URL-seen set diverges from the oracle "
+            f"({len(seen)} vs {len(res.seen_set())} ids)"
+        )
+    return order_df
 
 
 def entry(spark: SparkSession) -> DataFrame:

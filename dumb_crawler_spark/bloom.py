@@ -45,6 +45,22 @@ def _h1h2(url_id: Column) -> tuple[Column, Column]:
     return F.xxhash64(url_id), F.xxhash64(url_id, F.lit(1))
 
 
+def _fold_into(bits: np.ndarray, m: int, k: int, a: np.ndarray, b: np.ndarray) -> None:
+    """Set the k double-hash bit positions of every key (a, b) in ``bits``."""
+    for i in range(k):
+        idx = (a + np.uint64(i) * b) % np.uint64(m)
+        np.bitwise_or.at(bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8))
+
+
+def _test_bits(bitmap: np.ndarray, m: int, k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Membership test (no false negatives) for keys (a, b); bool array."""
+    hit = np.ones(len(a), dtype=bool)
+    for i in range(k):
+        idx = (a + np.uint64(i) * b) % np.uint64(m)
+        hit &= (bitmap[(idx // 8).astype(np.int64)] & (1 << (idx % 8)).astype(np.uint8)) != 0
+    return hit
+
+
 class PartitionedBloom:
     """part → (bitmap bytes, m, k). Built distributed, collected as compact
     bitmaps (m/8 bytes each), broadcast for the probe side."""
@@ -90,11 +106,18 @@ class PartitionedBloom:
 
         Pass ``expected_per_part`` (capacity presizing) when the filter will
         grow incrementally via :meth:`union` — all increments must share it.
+        Presized builds skip the per-part count job entirely (every part gets
+        the same (m, k), so sizing needs no data statistics).
         """
-        counts = {r["part"]: r["n"] for r in frontier.groupBy("part").agg(F.count("*").alias("n")).collect()}
-        if not counts:
-            return PartitionedBloom({}, expected_per_part)
-        sizes = {p: _params(expected_per_part or n, fpr) for p, n in counts.items()}
+        if expected_per_part is not None:
+            sizes = None
+            fixed = _params(expected_per_part, fpr)
+        else:
+            counts = {r["part"]: r["n"] for r in frontier.groupBy("part").agg(F.count("*").alias("n")).collect()}
+            if not counts:
+                return PartitionedBloom({}, expected_per_part)
+            sizes = {p: _params(n, fpr) for p, n in counts.items()}
+            fixed = None
         h1, h2 = _h1h2(F.col("url_id"))
         hashed = frontier.select("part", h1.alias("h1"), h2.alias("h2"))
 
@@ -107,19 +130,62 @@ class PartitionedBloom:
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             part = int(pdf["part"].iloc[0])
-            m, k = sizes[part]
+            m, k = fixed if fixed is not None else sizes[part]
             bits = np.zeros(m // 8, dtype=np.uint8)
             a = pdf["h1"].to_numpy(dtype=np.int64).astype(np.uint64)
             b = pdf["h2"].to_numpy(dtype=np.int64).astype(np.uint64)
-            for i in range(k):
-                idx = (a + np.uint64(i) * b) % np.uint64(m)
-                np.bitwise_or.at(bits, (idx // 8).astype(np.int64), (1 << (idx % 8)).astype(np.uint8))
+            _fold_into(bits, m, k, a, b)
             return pd.DataFrame({"part": [part], "bitmap": [bits.tobytes()], "m": [m], "k": [k]})
 
         rows = hashed.groupBy("part").applyInPandas(fold, schema).collect()
         return PartitionedBloom(
             {r["part"]: (bytes(r["bitmap"]), r["m"], r["k"]) for r in rows}, expected_per_part
         )
+
+    def probe_local(self, parts: np.ndarray, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """DRIVER-side membership test over collected (part, h1, h2) arrays —
+        for k-BOUNDED probe sides (e.g. a round's fresh page ids), where one
+        small collect beats shipping a pandas UDF + shuffle to the executors.
+        Same kernel as the distributed probe; False ⇒ definitely not seen."""
+        out = np.zeros(len(parts), dtype=bool)
+        a_all = h1.astype(np.int64).astype(np.uint64)
+        b_all = h2.astype(np.int64).astype(np.uint64)
+        for p in np.unique(parts):
+            f = self.filters.get(int(p))
+            if f is None:
+                continue
+            mask = parts == p
+            bitmap = np.frombuffer(f[0], dtype=np.uint8)
+            out[mask] = _test_bits(bitmap, f[1], f[2], a_all[mask], b_all[mask])
+        return out
+
+    def add_local(
+        self, parts: np.ndarray, h1: np.ndarray, h2: np.ndarray, fpr: float = 0.01
+    ) -> "PartitionedBloom":
+        """Driver-side incremental growth from collected key hashes (the
+        k-bounded dual of :meth:`union`): fold the new keys into COPIES of
+        the affected per-part bitmaps. Requires ``expected_per_part``
+        presizing (all parts share one (m, k)). Executor broadcast copies of
+        the old version are released."""
+        if not self.expected_per_part:
+            raise ValueError("add_local requires expected_per_part presizing")
+        m, k = _params(self.expected_per_part, fpr)
+        merged = dict(self.filters)
+        a_all = h1.astype(np.int64).astype(np.uint64)
+        b_all = h2.astype(np.int64).astype(np.uint64)
+        for p in np.unique(parts):
+            mask = parts == p
+            prev = merged.get(int(p))
+            if prev is not None:
+                if (prev[1], prev[2]) != (m, k):
+                    raise ValueError(f"incompatible bloom sizing for part {p}")
+                bits = np.frombuffer(prev[0], dtype=np.uint8).copy()
+            else:
+                bits = np.zeros(m // 8, dtype=np.uint8)
+            _fold_into(bits, m, k, a_all[mask], b_all[mask])
+            merged[int(p)] = (bits.tobytes(), m, k)
+        self._release_broadcast()
+        return PartitionedBloom(merged, self.expected_per_part)
 
     def might_contain(self, df: DataFrame, url_id_col: str = "url_id", part_col: str = "part") -> DataFrame:
         """Adds boolean ``_maybe_seen``: False ⇒ definitely NOT in the
@@ -152,13 +218,7 @@ class PartitionedBloom:
                 if f is None:
                     continue  # no filter for this part ⇒ definitely new
                 bitmap = np.frombuffer(f[0], dtype=np.uint8)
-                m, k = np.uint64(f[1]), f[2]
-                a, b = a_all[mask], b_all[mask]
-                hit = np.ones(mask.sum(), dtype=bool)
-                for i in range(k):
-                    idx = (a + np.uint64(i) * b) % m
-                    hit &= (bitmap[(idx // 8).astype(np.int64)] & (1 << (idx % 8)).astype(np.uint8)) != 0
-                out[mask] = hit
+                out[mask] = _test_bits(bitmap, f[1], f[2], a_all[mask], b_all[mask])
             return pd.Series(out)
 
         return probe.withColumn(

@@ -218,6 +218,39 @@ def frontier_urls_from_range(spark, n: int) -> DataFrame:
     return spark.range(n).select(url.alias("url"))
 
 
+def py_docs_from_documents(rows: list[tuple[str, str]], n: int) -> dict[str, list[dict]]:
+    """Pure-Python twin of :func:`docs_from_documents_table` — byte-identical
+    span derivation (same link arithmetic, same substrings) over collected
+    ``(doc_id, first-200-chars-of-text)`` rows, for feeding the
+    single-threaded OracleCrawler. The flagship query's self-check asserts
+    the Spark crawl over the Column-derived corpus equals the oracle crawl
+    over this dict — any drift between the two derivations fails loudly."""
+    docs: dict[str, list[dict]] = {}
+    link = lambda j: f'<a href="http://{CORPUS_HOST}/doc/{j}">'
+    for did, text in rows:
+        i = int(did)
+        text = text or ""
+        t1 = (
+            f"title {text[:80]} article-body "
+            + link((i * 7 + 1) % n) + " " + link((i * 13 + 2) % n)
+        )
+        t2 = (
+            "body " + text[80:200] + " " + link((i * 3 + 5) % n)
+            + (f' <a href="http://{EXT_HOST}/x" rel="nofollow">' if i % 10 == 0 else "")
+        )
+        spans = [{"kind": "text", "text": t1, "media_ref": None, "offset": 0}]
+        if i % 3 == 0:
+            spans.append({
+                "kind": "media", "text": None,
+                "media_ref": f"http://{CORPUS_CDN}/img/{i}.jpg", "offset": 1,
+            })
+            spans.append({"kind": "text", "text": t2, "media_ref": None, "offset": 2})
+        else:
+            spans.append({"kind": "text", "text": t2, "media_ref": None, "offset": 1})
+        docs[str(i)] = spans
+    return docs
+
+
 def docs_from_documents_table(documents: DataFrame) -> DataFrame:
     """Derive a crawl corpus from TESTDATA's ``documents`` table with pure
     Column expressions (scales with the table; zero Python).

@@ -79,6 +79,15 @@ def get_spark(
     if ev_dir:  # per-stage metrics for the scaling report's CPU accounting
         os.makedirs(ev_dir, exist_ok=True)
         b = b.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", ev_dir)
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        # JSON dict of arbitrary spark confs — lets subprocess-driven A/B
+        # experiments (scaling ladders) toggle e.g. shuffle compression or
+        # locality wait without code edits
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
