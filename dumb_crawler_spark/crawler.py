@@ -295,33 +295,44 @@ class Crawler:
         if planned_n is not None:
             # threshold path: dequeued count is known from the plan walk; the
             # ALLOWED/IGNORED split falls out of the fetch artifact's footer
-            # row count below. A bare count() still runs as the CACHE
-            # MATERIALIZATION BARRIER — without it the fetch join's several
-            # subplan references to dq (broadcast build + miss anti-join)
-            # race to evaluate the whole dequeue pipeline against a cold
-            # cache and duplicate the heavy window/filter work (measured
-            # ~2.5x fetch_write at local[8]). Unlike the legacy job this
-            # barrier does no retag/aggregation — and it doubles as the
-            # walk-count invariant check.
+            # row count below. The D2 ORDER-INDEX WRITE is the CACHE
+            # MATERIALIZATION BARRIER (VERDICT r04 item 5 — the former bare
+            # count() job is fused away): without a barrier the fetch join's
+            # several subplan references to dq (broadcast build + miss
+            # anti-join) race to evaluate the whole dequeue pipeline against
+            # a cold cache and duplicate the heavy window/filter work
+            # (measured ~2.5x fetch_write at local[8]). The lineage write
+            # evaluates that pipeline exactly once (k-row bucket window +
+            # parquet), its footer count IS the walk-count invariant check,
+            # and the planner's per-host decrement aggregates the just-
+            # written k-row delta (host rides in keep_cols) instead of
+            # re-running the pipeline.
             stats.dequeued = planned_n
-            with self._phase("dequeue"):
-                if use_inc and self._planner.hosts is not None:
-                    # same barrier, richer readback: the k-bounded per-host
-                    # counts feed the planner's host-state decrement — no
-                    # extra job vs a bare count()
-                    hc = {
-                        r["host"]: r["n"]
-                        for r in dq.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()
-                    }
-                    got_n = sum(hc.values())
-                else:
-                    hc = None
-                    got_n = dq.count()
+            assert dq_offsets is not None  # threshold ⇒ walk offsets exist
+            with self._phase("dq_order"):
+                got_n = self.wh.append_delta(
+                    "dequeue_order",
+                    round_no,
+                    FR.dequeue_order_index(
+                        dq, round_no, prefix_len=3, offsets=dq_offsets,
+                        keep_cols=("host",),
+                    ),
+                )
             if got_n != planned_n:
                 raise AssertionError(
                     f"threshold dequeue drift: plan walk={planned_n}, executed={got_n}"
                 )
             if use_inc:
+                hc = None
+                if self._planner.hosts is not None:
+                    with self._phase("dequeue"):
+                        hc = {
+                            r["host"]: r["n"]
+                            for r in self.wh.read_delta("dequeue_order", round_no)
+                            .groupBy("host")
+                            .agg(F.count(F.lit(1)).alias("n"))
+                            .collect()
+                        }
                 self._planner.on_dequeued(hc)
             allowed = FR.retag_dequeued(dq, cfg).where(F.col("_allowed")).drop("_allowed")
         else:
@@ -541,18 +552,18 @@ class Crawler:
         def dq_order_chain() -> dict[str, int]:
             # dequeue-order lineage (golden-comparable): distributed
             # contiguous D2 rank, all-JVM (frontier.dequeue_order_index).
-            # Large-k rounds reuse the planner's bucket offsets — no
-            # histogram job (prefix_len must match the threshold walk's 3).
+            # Threshold rounds already wrote it as the materialization
+            # barrier above (with the walk's offsets — no histogram job);
+            # only the small-k path writes it here.
+            if planned_n is not None:
+                return {}
             with self._phase("dq_order"):
+                # host kept on BOTH paths so the table's schema is uniform
+                # across rounds (read_deltas unions the per-round dirs)
                 self.wh.append_delta(
                     "dequeue_order",
                     round_no,
-                    FR.dequeue_order_index(
-                        dq,
-                        round_no,
-                        prefix_len=3 if dq_offsets is not None else 2,
-                        offsets=dq_offsets,
-                    ),
+                    FR.dequeue_order_index(dq, round_no, prefix_len=2, keep_cols=("host",)),
                 )
             return {}
 

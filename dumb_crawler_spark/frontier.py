@@ -555,7 +555,11 @@ def _dequeue_threshold_ex(
 
 
 def dequeue_order_index(
-    dq: DataFrame, round_no: int, prefix_len: int = 2, offsets: list[tuple] | None = None
+    dq: DataFrame,
+    round_no: int,
+    prefix_len: int = 2,
+    offsets: list[tuple] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(round, seq, url_id) lineage rows: seq = contiguous 0-based global
     rank of the dequeued batch in D2 order (priority DESC, attempt ASC,
@@ -570,9 +574,14 @@ def dequeue_order_index(
     ``prefix_len`` must then match the walk's) or from one tiny
     groupBy().count() collect; a per-bucket row_number window (parallel
     across buckets, k-row shuffle at most) finishes the rank.
-    All JVM/codegen — zero Python in the loop."""
+    All JVM/codegen — zero Python in the loop.
+
+    ``keep_cols`` carries extra dq columns (e.g. ``host``) into the lineage
+    rows — the threshold path writes this index as the round's dq-cache
+    materialization BARRIER and re-reads the tiny delta for the planner's
+    per-host decrement, so the host must ride along (crawler.run_round)."""
     pre = F.substring("url_id", 1, prefix_len)
-    b = dq.select("priority", "attempt", pre.alias("_pre"), "url_id")
+    b = dq.select("priority", "attempt", pre.alias("_pre"), "url_id", *keep_cols)
     if offsets is None:
         counts = b.groupBy("priority", "attempt", "_pre").count().collect()
         counts.sort(key=lambda r: (-r["priority"], r["attempt"], r["_pre"]))
@@ -589,7 +598,7 @@ def dequeue_order_index(
     return (
         b.join(odf, ["priority", "attempt", "_pre"])
         .withColumn("seq", F.col("_off") + F.row_number().over(w) - 1)
-        .select(F.lit(round_no).alias("round"), "seq", "url_id")
+        .select(F.lit(round_no).alias("round"), "seq", "url_id", *keep_cols)
     )
 
 
