@@ -368,6 +368,48 @@ best-of-{inp['reps']} alternating repetitions in fresh JVMs on the same input.
 
 {body}
 
+
+### Thread ladder, round 5 notes (VERDICT r04 item 5)
+
+HEAD (fused dequeue barrier + incremental pages split + compaction-in-protocol)
+moves the ladder: steady-state efficiency **median 0.468** (best 0.414), up
+from r4's 0.427 median — and both ABSOLUTE levels got faster (local[8]
+whole-run best 91.2 s vs 97.1 s; local[2] 154.7 vs 165.0). Task-CPU/URL
+inflation 2→8 cores is 342→514 µs = **1.50×**, implying a ≈0.67 DRAM-bound
+ceiling for this campaign; measured 0.468 / 0.67 = **0.70 wave-packing
+factor**. The per-phase occupancy on HEAD at local[8] (event-log job
+attribution, one clean run, `scripts/phase_jobs.py`):
+
+| phase | wall s | task s | eff. parallelism /8 | max task s |
+|---|---|---|---|---|
+| fetch_write | 35.6 | 170.4 | 4.8 | 3.5 |
+| dq_order (now carries the dequeue pipeline) | 20.9 | 101.7 | 4.9 | 1.4 |
+| ins_write | 16.7 | 80.2 | 4.8 | 3.4 |
+| untagged (fetch-chain aux) | 15.8 | 104.5 | 6.6 | 7.0 |
+| compact | 6.8 | 27.9 | 4.1 | 3.9 |
+| dequeue_plan | 4.2 | 19.2 | 4.6 | 1.1 |
+| all remaining | <2.5 each | — | 2.1-5.6 | ≤0.7 |
+
+Why the residual can't pack much tighter at this input: the heavy phases'
+max task runs 6× their mean (hot-host partition skew + a straggling final
+wave on 8 cores with ~30-40 task stages), and the r4 A/B already showed
+that multiplying task count (3× shuffle partitions) LOSES more to per-task
+overhead than it wins in packing. The two levers left — deeper per-stage
+task queues and separate memory controllers — are exactly what a real
+N→4N executor cluster adds.
+
+### Resume at scale (round 5, VERDICT r04 item 7)
+
+Process-restart cost at the bench input (2M frontier, k=200k, local[32];
+`scripts/resume_probe.py`): a fresh Crawler on a 2-round-old warehouse runs
+its first round in 36.3 s vs ~28 s steady, i.e. **~8 s one-time resume
+overhead**: bootstrap rollback + frontier count 1.4 s, incremental-planner
+seed scan ~1.2 s over steady, pages-seen bloom rebuild ~2 s (one distinct
+scan of 360k saved ids), auto codegen warm-up 3.7 s. All are O(state) ONCE
+per process — at a 10^10-row frontier the planner seed and bloom rebuild
+are the restart-latency story and would be served from snapshot footer
+stats / persisted per-part bitmaps respectively (both documented seams).
+
 ### Executor ladder, round 5 — re-measured on HEAD + two-size forensics (VERDICT r04 item 1)
 
 Full campaign in `EXEC_LADDER.json` (baseline) / `EXEC_LADDER_locality0.json` /
