@@ -455,6 +455,16 @@ is still dragged by one 65 s steal-window sample (published, not averaged).
   locality.wait=0 moved nothing (424 vs 441 s — scheduler wait was not the
   residual).
 
+
+One more 2-rep campaign was run UNDER THE SHIPPED DEFAULTS (compress-off on
+local-cluster, post-fusion HEAD; `EXEC_LADDER_default.json`): whole-run
+walls local-cluster[8,1] = [73.1, **60.8**] s vs [2,1] = [67.0, 71.5] s —
+8 executors are now absolutely faster than 2 on the WHOLE run too (best
+60.8 vs 67.0; the r4 state of this ladder was 4N strictly slower at every
+cut), steady best 31.3 vs 25.1 s (eff 0.20-0.28 across the two windows —
+the level-to-level ratio sits inside the documented host-noise band, the
+ABSOLUTE ordering flip is the robust finding).
+
 Remaining honest gap to the 0.8 rule at process granularity: 0.27 best vs
 the ≈0.62 DRAM ceiling — the fixed-JIT share still floods a 2-round
 sandbox run (it is gone by construction on any long-lived executor), and
